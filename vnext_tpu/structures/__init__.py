@@ -1,0 +1,37 @@
+from .boxes import (
+    BoxMode,
+    Boxes,
+    box_area,
+    box_cxcywh_to_xyxy,
+    box_iou,
+    box_xyxy_to_cxcywh,
+    clip_boxes,
+    elementwise_giou_loss,
+    generalized_box_iou,
+    nonempty_boxes,
+    pairwise_intersection,
+    pairwise_iou,
+)
+from .instances import Instances
+from .masks import BitMasks, mask_iou_pairwise, polygons_to_bitmask
+from .image_list import ImageList
+
+__all__ = [
+    "BoxMode",
+    "Boxes",
+    "box_area",
+    "box_cxcywh_to_xyxy",
+    "box_iou",
+    "box_xyxy_to_cxcywh",
+    "clip_boxes",
+    "elementwise_giou_loss",
+    "generalized_box_iou",
+    "nonempty_boxes",
+    "pairwise_intersection",
+    "pairwise_iou",
+    "Instances",
+    "BitMasks",
+    "mask_iou_pairwise",
+    "polygons_to_bitmask",
+    "ImageList",
+]
