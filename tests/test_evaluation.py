@@ -1,0 +1,127 @@
+import numpy as np
+import pytest
+
+from vnext_tpu.evaluation.rle import (
+    compress_counts,
+    decompress_counts,
+    mask_to_counts,
+    rle_area,
+    rle_decode,
+    rle_encode,
+    rle_iou,
+)
+from vnext_tpu.evaluation.ytvos_eval import YTVOSeval, tube_iou
+
+
+def _random_mask(rng, h=31, w=17):
+    return rng.rand(h, w) > 0.6
+
+
+def test_rle_roundtrip():
+    rng = np.random.RandomState(0)
+    for _ in range(10):
+        m = _random_mask(rng)
+        rle = rle_encode(m)
+        assert isinstance(rle["counts"], str)
+        np.testing.assert_array_equal(rle_decode(rle), m)
+
+
+def test_rle_empty_and_full():
+    for m in (np.zeros((8, 8), bool), np.ones((8, 8), bool)):
+        np.testing.assert_array_equal(rle_decode(rle_encode(m)), m)
+
+
+def test_counts_column_major():
+    m = np.zeros((3, 2), bool)
+    m[0, 0] = True  # first pixel in F-order
+    assert mask_to_counts(m) == [0, 1, 5]
+    m2 = np.zeros((3, 2), bool)
+    m2[0, 1] = True  # pixel index 3 in F-order
+    assert mask_to_counts(m2) == [3, 1, 2]
+
+
+def test_compress_delta_scheme_roundtrip():
+    for counts in ([0, 1, 5], [3, 1, 2], [0, 100, 3, 100, 3, 50], [1000000, 5, 2]):
+        assert decompress_counts(compress_counts(counts)) == counts
+
+
+def test_rle_area_and_iou():
+    m1 = np.zeros((10, 10), bool)
+    m1[:5] = True
+    m2 = np.zeros((10, 10), bool)
+    m2[2:7] = True
+    r1, r2 = rle_encode(m1), rle_encode(m2)
+    assert rle_area(r1) == 50
+    expected = np.logical_and(m1, m2).sum() / np.logical_or(m1, m2).sum()
+    assert abs(rle_iou(r1, r2) - expected) < 1e-9
+
+
+def test_tube_iou_with_missing_frames():
+    m = np.zeros((8, 8), bool)
+    m[:4] = True
+    r = rle_encode(m)
+    # identical on frame 0; det missing on frame 1 while gt present
+    iou = tube_iou([r, None], [r, r])
+    assert abs(iou - 32 / 64) < 1e-9
+    assert tube_iou([r, r], [r, r]) == 1.0
+    assert tube_iou([None], [None]) == 0.0
+
+
+def _make_gt_and_perfect_results():
+    h, w = 32, 32
+    masks = []
+    for off in (0, 10):
+        m = np.zeros((h, w), bool)
+        m[off : off + 8, 4:20] = True
+        masks.append(rle_encode(m))
+    gt = {
+        "videos": [{"id": 1, "height": h, "width": w, "length": 2,
+                    "file_names": ["a", "b"]}],
+        "categories": [{"id": 1, "name": "x"}, {"id": 2, "name": "y"}],
+        "annotations": [
+            {"id": 1, "video_id": 1, "category_id": 1,
+             "segmentations": [masks[0], masks[0]], "iscrowd": 0},
+            {"id": 2, "video_id": 1, "category_id": 2,
+             "segmentations": [masks[1], None], "iscrowd": 0},
+        ],
+    }
+    results = [
+        {"video_id": 1, "category_id": 1, "score": 0.9,
+         "segmentations": [masks[0], masks[0]]},
+        {"video_id": 1, "category_id": 2, "score": 0.8,
+         "segmentations": [masks[1], None]},
+    ]
+    return gt, results
+
+
+def test_ytvos_eval_perfect_predictions():
+    gt, results = _make_gt_and_perfect_results()
+    stats = YTVOSeval(gt, results).evaluate()
+    assert stats["AP"] == pytest.approx(1.0)
+    assert stats["AP50"] == pytest.approx(1.0)
+    assert stats["AR@1"] == pytest.approx(1.0)
+
+
+def test_ytvos_eval_no_predictions():
+    gt, _ = _make_gt_and_perfect_results()
+    stats = YTVOSeval(gt, []).evaluate()
+    assert stats["AP"] == pytest.approx(0.0)
+
+
+def test_ytvos_eval_wrong_category():
+    gt, results = _make_gt_and_perfect_results()
+    for r in results:
+        r["category_id"] = 3 - r["category_id"]  # swap categories
+    stats = YTVOSeval(gt, results).evaluate()
+    assert stats["AP"] == pytest.approx(0.0)
+
+
+def test_ytvos_eval_half_iou_detection():
+    gt, results = _make_gt_and_perfect_results()
+    # degrade det 1: mask shifted so tube IoU ~ 1/3 (<0.5) -> misses all thresholds
+    h, w = 32, 32
+    m = np.zeros((h, w), bool)
+    m[4:12, 4:20] = True
+    results[0]["segmentations"] = [rle_encode(m)] * 2
+    stats = YTVOSeval(gt, results).evaluate()
+    assert 0.0 < stats["AP"] < 1.0

@@ -1,0 +1,217 @@
+"""Import reference PyTorch checkpoints into flax parameter trees.
+
+Capability parity with detectron2/checkpoint/c2_model_loading.py:209 (heuristic
+state-dict key alignment with shape verification), specialized to the IDOL/VNext
+checkpoint layout so reference model-zoo weights can drive AP-parity validation
+without retraining (SURVEY.md §7 hard part 6).
+
+Layout conversions:
+    torch Linear  [out, in]      -> flax Dense kernel [in, out]
+    torch Conv    [O, I, H, W]   -> flax Conv kernel  [H, W, I, O]
+    torch LN/GN   weight/bias    -> flax scale/bias
+    torch nn.MultiheadAttention in_proj_weight [3C, C] -> q/k/v Dense kernels
+"""
+
+from __future__ import annotations
+
+import logging
+import re
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+logger = logging.getLogger("vnext_tpu")
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a .pth file into numpy arrays (no CUDA required)."""
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(blob, dict) and "model" in blob:
+        blob = blob["model"]
+    if isinstance(blob, dict) and "state_dict" in blob:
+        blob = blob["state_dict"]
+    return {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+            for k, v in blob.items()}
+
+
+def _linear(key_prefix: str, out_prefix: Tuple[str, ...], sd, out):
+    w = sd.get(key_prefix + ".weight")
+    if w is not None:
+        out[out_prefix + ("kernel",)] = np.ascontiguousarray(w.T)
+    b = sd.get(key_prefix + ".bias")
+    if b is not None:
+        out[out_prefix + ("bias",)] = b
+
+
+def _conv(key_prefix: str, out_prefix: Tuple[str, ...], sd, out):
+    w = sd.get(key_prefix + ".weight")
+    if w is not None:
+        out[out_prefix + ("kernel",)] = np.ascontiguousarray(w.transpose(2, 3, 1, 0))
+    b = sd.get(key_prefix + ".bias")
+    if b is not None:
+        out[out_prefix + ("bias",)] = b
+
+
+def _norm(key_prefix: str, out_prefix: Tuple[str, ...], sd, out):
+    w = sd.get(key_prefix + ".weight")
+    if w is not None:
+        out[out_prefix + ("scale",)] = w
+    b = sd.get(key_prefix + ".bias")
+    if b is not None:
+        out[out_prefix + ("bias",)] = b
+
+
+def _frozen_bn(key_prefix: str, out_prefix: Tuple[str, ...], sd, out):
+    for name in ("weight", "bias", "running_mean", "running_var"):
+        v = sd.get(f"{key_prefix}.{name}")
+        if v is not None:
+            out[out_prefix + (name,)] = v
+
+
+def _mlp(key_prefix: str, out_prefix: Tuple[str, ...], sd, out, num_layers=3):
+    for j in range(num_layers):
+        _linear(f"{key_prefix}.layers.{j}", out_prefix + (f"layers_{j}",), sd, out)
+
+
+def convert_idol_checkpoint(
+    sd: Dict[str, np.ndarray],
+    dec_layers: int = 6,
+    enc_layers: int = 6,
+    num_feature_levels: int = 4,
+) -> Dict[Tuple[str, ...], np.ndarray]:
+    """Map an IDOL state_dict to a flat {flax path: array} dict."""
+    out: Dict[Tuple[str, ...], np.ndarray] = {}
+
+    # strip common wrapper prefixes
+    sd = { re.sub(r"^(module\.)", "", k): v for k, v in sd.items() }
+
+    # ---- backbone (detectron2 ResNet naming under detr.detr.backbone.0.backbone.)
+    bb = "detr.detr.backbone.0.backbone"
+    _conv(f"{bb}.stem.conv1", ("backbone", "conv1"), sd, out)
+    _frozen_bn(f"{bb}.stem.conv1.norm", ("backbone", "bn1"), sd, out)
+    stage_blocks = {2: 64, 3: 64, 4: 64, 5: 64}  # upper bound on block count per stage
+    for s in (2, 3, 4, 5):
+        b = 0
+        while f"{bb}.res{s}.{b}.conv1.weight" in sd:
+            pre = f"{bb}.res{s}.{b}"
+            tgt = ("backbone", f"layer{s - 1}_{b}")
+            for j in (1, 2, 3):
+                _conv(f"{pre}.conv{j}", tgt + (f"conv{j}",), sd, out)
+                _frozen_bn(f"{pre}.conv{j}.norm", tgt + (f"bn{j}",), sd, out)
+            if f"{pre}.shortcut.weight" in sd:
+                _conv(f"{pre}.shortcut", tgt + ("downsample_conv",), sd, out)
+                _frozen_bn(f"{pre}.shortcut.norm", tgt + ("downsample_bn",), sd, out)
+            b += 1
+
+    # ---- input projections
+    for i in range(num_feature_levels):
+        _conv(f"detr.detr.input_proj.{i}.0", (f"input_proj_{i}", "conv"), sd, out)
+        _norm(f"detr.detr.input_proj.{i}.1", (f"input_proj_{i}", "norm"), sd, out)
+
+    # ---- transformer
+    t = "detr.detr.transformer"
+    if f"{t}.level_embed" in sd:
+        out[("transformer", "level_embed")] = sd[f"{t}.level_embed"]
+    _linear(f"{t}.reference_points", ("transformer", "reference_points"), sd, out)
+    for i in range(enc_layers):
+        pre = f"{t}.encoder.layers.{i}"
+        tgt = ("transformer", f"encoder_{i}")
+        for mod in ("sampling_offsets", "attention_weights", "value_proj", "output_proj"):
+            _linear(f"{pre}.self_attn.{mod}", tgt + ("self_attn", mod), sd, out)
+        _norm(f"{pre}.norm1", tgt + ("norm1",), sd, out)
+        _norm(f"{pre}.norm2", tgt + ("norm2",), sd, out)
+        _linear(f"{pre}.linear1", tgt + ("linear1",), sd, out)
+        _linear(f"{pre}.linear2", tgt + ("linear2",), sd, out)
+    for i in range(dec_layers):
+        pre = f"{t}.decoder.layers.{i}"
+        tgt = ("transformer", f"decoder_{i}")
+        for mod in ("sampling_offsets", "attention_weights", "value_proj", "output_proj"):
+            _linear(f"{pre}.cross_attn.{mod}", tgt + ("cross_attn", mod), sd, out)
+        # torch MultiheadAttention packed qkv
+        w = sd.get(f"{pre}.self_attn.in_proj_weight")
+        b = sd.get(f"{pre}.self_attn.in_proj_bias")
+        if w is not None:
+            c = w.shape[0] // 3
+            for j, name in enumerate(("q_proj", "k_proj", "v_proj")):
+                out[tgt + ("self_attn", name, "kernel")] = np.ascontiguousarray(
+                    w[j * c : (j + 1) * c].T
+                )
+                if b is not None:
+                    out[tgt + ("self_attn", name, "bias")] = b[j * c : (j + 1) * c]
+        _linear(f"{pre}.self_attn.out_proj", tgt + ("self_attn", "out_proj"), sd, out)
+        for n in ("norm1", "norm2", "norm3"):
+            _norm(f"{pre}.{n}", tgt + (n,), sd, out)
+        _linear(f"{pre}.linear1", tgt + ("linear1",), sd, out)
+        _linear(f"{pre}.linear2", tgt + ("linear2",), sd, out)
+
+    # ---- heads
+    for i in range(dec_layers):
+        _linear(f"detr.detr.class_embed.{i}", (f"class_embed_{i}",), sd, out)
+        _mlp(f"detr.detr.bbox_embed.{i}", ("transformer", f"bbox_embed_{i}"), sd, out)
+    if "detr.detr.query_embed.weight" in sd:
+        out[("query_embed",)] = sd["detr.detr.query_embed.weight"]
+    _mlp("detr.controller", ("controller",), sd, out)
+    _mlp("detr.reid_embed_head", ("reid_embed",), sd, out)
+    for lay in ("lay1", "lay2", "lay3", "lay4", "dcn"):
+        _conv(f"detr.mask_head.{lay}", ("mask_head", lay), sd, out)
+
+    return out
+
+
+def apply_to_params(flat: Dict[Tuple[str, ...], np.ndarray], params) -> Tuple[Any, Dict]:
+    """Write converted arrays into a flax params tree, verifying shapes.
+
+    Returns (new_params, report) where report lists matched/missing/unused keys —
+    the same information the reference logs in c2_model_loading.py:209.
+    """
+    import jax
+
+    # flatten params tree to {tuple path: leaf}
+    leaves = jax.tree_util.tree_leaves_with_path(params)
+    param_paths = {
+        tuple(getattr(p, "key", getattr(p, "name", str(p))) for p in path): leaf
+        for path, leaf in leaves
+    }
+
+    matched, missing, shape_mismatch = [], [], []
+    new_flat = dict(param_paths)
+    for path, leaf in param_paths.items():
+        if path in flat:
+            arr = flat[path]
+            if tuple(arr.shape) != tuple(leaf.shape):
+                shape_mismatch.append((path, arr.shape, tuple(leaf.shape)))
+                continue
+            new_flat[path] = arr.astype(np.asarray(leaf).dtype)
+            matched.append(path)
+        else:
+            missing.append(path)
+    unused = [k for k in flat if k not in param_paths]
+
+    # rebuild the tree
+    def rebuild(tree, prefix=()):
+        if isinstance(tree, dict):
+            return {k: rebuild(v, prefix + (k,)) for k, v in tree.items()}
+        import jax.numpy as jnp
+
+        return jnp.asarray(new_flat[prefix])
+
+    report = {
+        "matched": len(matched),
+        "missing": missing,
+        "unused": unused,
+        "shape_mismatch": shape_mismatch,
+    }
+    if missing:
+        logger.warning("torch import: %d params not found in checkpoint", len(missing))
+    if shape_mismatch:
+        logger.warning("torch import: shape mismatches: %s", shape_mismatch[:5])
+    return rebuild(params), report
+
+
+def load_idol_weights(path: str, params, **kwargs):
+    """One-call import: .pth file -> new flax params (+ report)."""
+    sd = load_torch_state_dict(path)
+    flat = convert_idol_checkpoint(sd, **kwargs)
+    return apply_to_params(flat, params)

@@ -1,5 +1,15 @@
 from .cfgnode import CfgNode, CN
 from .defaults import get_cfg
+from .extensions import add_idol_config, add_seqformer_config
 from .lazy import LazyCall, LazyConfig, instantiate
 
-__all__ = ["CfgNode", "CN", "get_cfg", "LazyCall", "LazyConfig", "instantiate"]
+__all__ = [
+    "CfgNode",
+    "CN",
+    "get_cfg",
+    "add_idol_config",
+    "add_seqformer_config",
+    "LazyCall",
+    "LazyConfig",
+    "instantiate",
+]

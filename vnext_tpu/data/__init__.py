@@ -1,0 +1,35 @@
+from .catalog import DatasetCatalog, Metadata, MetadataCatalog
+from .build import (
+    InferenceSampler,
+    PrefetchIterator,
+    TrainingSampler,
+    build_vis_test_loader,
+    build_vis_train_loader,
+)
+from .dataset_mapper import YTVISDatasetMapper
+from .datasets.ytvis import (
+    OVIS_CLASSES,
+    YTVIS_2019_CLASSES,
+    YTVIS_2021_CLASSES,
+    load_ytvis_json,
+    register_all_ytvis,
+    register_ytvis_instances,
+)
+
+__all__ = [
+    "DatasetCatalog",
+    "Metadata",
+    "MetadataCatalog",
+    "InferenceSampler",
+    "PrefetchIterator",
+    "TrainingSampler",
+    "build_vis_test_loader",
+    "build_vis_train_loader",
+    "YTVISDatasetMapper",
+    "OVIS_CLASSES",
+    "YTVIS_2019_CLASSES",
+    "YTVIS_2021_CLASSES",
+    "load_ytvis_json",
+    "register_all_ytvis",
+    "register_ytvis_instances",
+]

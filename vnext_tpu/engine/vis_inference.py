@@ -1,0 +1,267 @@
+"""IDOL whole-video inference driver.
+
+Capability parity with IDOL's eval path (projects/IDOL/idol/idol.py:249-295 clip
+batching + :328-473 inference/tracker/mask assembly), restructured TPU-first:
+
+- the jitted per-clip ``IDOL.inference`` handles a fixed clip length (the last
+  clip is padded to the same length so one compilation serves the whole dataset);
+- per-frame candidate selection + streaming tracker run on host over tiny arrays
+  (<=300 queries), as the reference does (MERGE_ON_CPU);
+- full-resolution mask materialization happens lazily per output instance.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from ..data.transforms import get_resize_shortest_edge
+from ..structures.boxes import box_cxcywh_to_xyxy
+from ..tracking.idol_tracker import IDOLTracker, _sigmoid
+from ..models.idol import IDOL
+
+
+def _nms_numpy(boxes: np.ndarray, scores: np.ndarray, idxs: np.ndarray, thr: float) -> np.ndarray:
+    """Class-aware greedy NMS (host, small N). Returns kept indices in score order."""
+    if len(boxes) == 0:
+        return np.zeros((0,), np.int64)
+    offs = idxs.astype(np.float64)[:, None] * (boxes.max() + 1)
+    b = boxes.astype(np.float64) + offs
+    order = np.argsort(-scores)
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+    areas = (b[:, 2] - b[:, 0]).clip(0) * (b[:, 3] - b[:, 1]).clip(0)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        xx1 = np.maximum(b[i, 0], b[order, 0])
+        yy1 = np.maximum(b[i, 1], b[order, 1])
+        xx2 = np.minimum(b[i, 2], b[order, 2])
+        yy2 = np.minimum(b[i, 3], b[order, 3])
+        inter = (xx2 - xx1).clip(0) * (yy2 - yy1).clip(0)
+        iou = inter / np.maximum(areas[i] + areas[order] - inter, 1e-12)
+        suppressed[order[iou > thr]] = True
+        suppressed[i] = False
+    return np.asarray(keep, np.int64)
+
+
+class IDOLVideoInference:
+    def __init__(
+        self,
+        model: IDOL,
+        params,
+        *,
+        test_short_edge: int = 480,
+        test_max_size: int = 1333,
+        target_size: Tuple[int, int] = (480, 864),
+        batch_infer_len: int = 10,
+        inference_select_thres: float = 0.1,
+        nms_pre: float = 0.5,
+        add_new_score: float = 0.2,
+        memory_len: int = 3,
+        inference_fw: bool = True,
+        inference_tw: bool = True,
+        is_multi_cls: bool = True,
+        apply_cls_thres: float = 0.05,
+        temporal_score_type: str = "mean",
+        pixel_mean: Sequence[float] = (123.675, 116.280, 103.530),
+        pixel_std: Sequence[float] = (58.395, 57.120, 57.375),
+        image_loader=None,
+    ):
+        self.model = model
+        self.params = params
+        self.test_short_edge = test_short_edge
+        self.test_max_size = test_max_size
+        self.target_size = tuple(target_size)
+        self.batch_infer_len = batch_infer_len
+        self.inference_select_thres = inference_select_thres
+        self.nms_pre = nms_pre
+        self.add_new_score = add_new_score
+        self.memory_len = memory_len
+        self.inference_fw = inference_fw
+        self.inference_tw = inference_tw
+        self.is_multi_cls = is_multi_cls
+        self.apply_cls_thres = apply_cls_thres
+        self.temporal_score_type = temporal_score_type
+        self.pixel_mean = np.asarray(pixel_mean, np.float32)
+        self.pixel_std = np.asarray(pixel_std, np.float32)
+        self.image_loader = image_loader or self._default_loader
+
+        def infer(p, imgs, sizes):
+            # device-side normalization keeps host->HBM transfers uint8
+            x = (imgs.astype(jnp.float32) - jnp.asarray(self.pixel_mean)) / jnp.asarray(
+                self.pixel_std
+            )
+            return model.apply({"params": p}, x, sizes, method=IDOL.inference)
+
+        self._infer = jax.jit(infer)
+
+    @staticmethod
+    def _default_loader(path: str) -> np.ndarray:
+        with Image.open(path) as im:
+            return np.asarray(im.convert("RGB"))
+
+    # ------------------------------------------------------------------ frames
+    def _prepare_frames(self, record: dict):
+        th, tw = self.target_size
+        frames = []
+        size = None
+        for path in record["file_names"]:
+            img = self.image_loader(path)
+            tfm = get_resize_shortest_edge(
+                img.shape[0], img.shape[1], self.test_short_edge, self.test_max_size
+            )
+            img = tfm.apply_image(img)
+            h, w = img.shape[:2]
+            if h > th or w > tw:
+                img = img[:th, :tw]
+                h, w = img.shape[:2]
+            pad = np.zeros((th, tw, 3), np.uint8)
+            pad[:h, :w] = img
+            frames.append(pad)
+            size = (h, w)
+        return np.stack(frames), size
+
+    def _run_clips(self, frames: np.ndarray, size: Tuple[int, int]):
+        t = frames.shape[0]
+        cl = self.batch_infer_len
+        n_clips = max(1, math.ceil(t / cl))
+        outs = {"pred_logits": [], "pred_boxes": [], "pred_inst_embed": [], "pred_masks": []}
+        sizes = np.asarray([size] * cl, np.int32)
+        for c in range(n_clips):
+            chunk = frames[c * cl : (c + 1) * cl]
+            n = chunk.shape[0]
+            if n < cl:  # pad to the fixed clip length so the jit signature is stable
+                chunk = np.concatenate([chunk, np.zeros((cl - n, *chunk.shape[1:]), chunk.dtype)])
+            out = self._infer(self.params, jnp.asarray(chunk), jnp.asarray(sizes))
+            for k in outs:
+                outs[k].append(np.asarray(out[k])[:n])
+        return {k: np.concatenate(v, axis=0) for k, v in outs.items()}
+
+    # ------------------------------------------------------------------ video
+    def __call__(self, record: dict) -> Dict:
+        frames, size = self._prepare_frames(record)
+        outputs = self._run_clips(frames, size)
+        tracker = IDOLTracker(
+            init_score_thr=0.2,
+            obj_score_thr=0.1,
+            nms_thr_pre=self.nms_pre,
+            nms_thr_post=0.05,
+            addnew_score_thr=self.add_new_score,
+            memo_tracklet_frames=10,
+            memo_momentum=0.8,
+            long_match=self.inference_tw,
+            frame_weight=(self.inference_tw | self.inference_fw),
+            temporal_weight=self.inference_tw,
+            memory_len=self.memory_len,
+        )
+        ori_size = (record["height"], record["width"])
+        return self._assemble_video(outputs, tracker, ori_size, size)
+
+    def _assemble_video(self, outputs, tracker, ori_size, image_size) -> Dict:
+        """Reference: idol.py:328-473 inference()."""
+        logits = outputs["pred_logits"]        # [T, Q, C]
+        masks = outputs["pred_masks"]          # [T, Q, H4, W4]
+        boxes = outputs["pred_boxes"]          # [T, Q, 4]
+        embeds = outputs["pred_inst_embed"]    # [T, Q, E]
+        vid_len = len(logits)
+        video_dict: Dict[int, Dict] = {}
+        for t in range(vid_len):
+            scores_t = _sigmoid(logits[t])
+            max_score = scores_t.max(axis=1)
+            indices = np.flatnonzero(max_score > self.inference_select_thres)
+            if len(indices) == 0:
+                indices = np.asarray([int(max_score.argmax())])
+            else:
+                nms_scores = scores_t[indices].max(axis=1)
+                cls_idx = scores_t[indices].argmax(axis=1)
+                xyxy = np.asarray(box_cxcywh_to_xyxy(jnp.asarray(boxes[t][indices])))
+                keep = _nms_numpy(xyxy, nms_scores, cls_idx, 0.9)
+                indices = indices[keep]
+            box_score = scores_t[indices].max(axis=1)
+            det_bboxes = np.concatenate([boxes[t][indices], box_score[:, None]], axis=1)
+            det_labels = scores_t[indices].argmax(axis=1)
+            track_feats = embeds[indices]
+            det_masks = masks[t][indices]
+            _, _, ids, kept_indices = tracker.match(
+                det_bboxes, det_labels, det_masks, track_feats, t, list(indices)
+            )
+            kept = [(q, int(i)) for q, i in zip(kept_indices, ids) if i > -1]
+            for q, tid in kept:
+                entry = video_dict.setdefault(
+                    tid,
+                    {"masks": [None] * t, "scores": [None] * t, "boxes": [None] * t, "valid": 0},
+                )
+                entry["masks"].append(masks[t][q])
+                entry["scores"].append(scores_t[q])
+                entry["boxes"].append(boxes[t][q])
+                entry["valid"] += 1
+            for entry in video_dict.values():
+                while len(entry["masks"]) < t + 1:
+                    entry["masks"].append(None)
+                    entry["scores"].append(None)
+                    entry["boxes"].append(None)
+            # prune short noisy tracks (reference :404-414)
+            if t > 8:
+                for tid in [k for k, v in video_dict.items()
+                            if v["masks"][-1] is None and v["masks"][-2] is None and v["valid"] < 3]:
+                    video_dict.pop(tid)
+
+        logits_list, masks_list = [], []
+        for tid, entry in video_dict.items():
+            score_stack = [s for s in entry["scores"] if s is not None]
+            logit = np.stack(score_stack)
+            logit = logit.mean(0) if self.temporal_score_type == "mean" else logit.max(0)
+            logits_list.append(logit)
+            masks_list.append(entry["masks"])  # stride-4 logits or None per frame
+
+        if logits_list:
+            pred_cls = np.stack(logits_list)
+            if self.is_multi_cls:
+                above = np.nonzero(pred_cls > self.apply_cls_thres)
+                out_scores = pred_cls[above].tolist()
+                out_labels = above[1].tolist()
+                out_masks = [masks_list[i] for i in above[0]]
+            else:
+                out_scores = pred_cls.max(-1).tolist()
+                out_labels = pred_cls.argmax(-1).tolist()
+                out_masks = masks_list
+        else:
+            out_scores, out_labels, out_masks = [], [], []
+
+        return {
+            "image_size": ori_size,
+            "pred_scores": out_scores,
+            "pred_labels": out_labels,
+            "pred_masks": [
+                [self._finalize_mask(m, image_size, ori_size) for m in inst]
+                for inst in out_masks
+            ],
+        }
+
+    def _finalize_mask(
+        self, mask_logit_s4: Optional[np.ndarray], image_size, ori_size
+    ) -> Optional[np.ndarray]:
+        """stride-4 logits -> bool mask at original video resolution (reference :438-444:
+        x4 bilinear upsample, sigmoid, crop padding, nearest-resize, >0.5)."""
+        if mask_logit_s4 is None:
+            return None
+        from ..ops.interpolate import resize_bilinear, resize_nearest
+        import jax.numpy as jnp_
+
+        h4, w4 = mask_logit_s4.shape
+        up = np.asarray(
+            resize_bilinear(jnp_.asarray(mask_logit_s4)[None], h4 * 4, w4 * 4)
+        )[0]
+        prob = 1.0 / (1.0 + np.exp(-up))
+        prob = prob[: image_size[0], : image_size[1]]
+        out = np.asarray(
+            resize_nearest(jnp_.asarray(prob)[None], ori_size[0], ori_size[1])
+        )[0]
+        return out > 0.5

@@ -1,0 +1,45 @@
+from .backbones.resnet import BACKBONE_REGISTRY, ResNet, build_resnet_backbone
+from .condinst import MaskHeadSmallConv, num_dynamic_params, run_dynamic_mask_head
+from .criterion import Targets, default_weight_dict
+from .deformable_transformer import DeformableTransformer, MSDeformAttnModule
+from .idol import IDOL, META_ARCH_REGISTRY, build_idol_model
+from .layers import MLP, ConvGN, FrozenBatchNorm, MultiHeadAttention, inverse_sigmoid
+from .matcher import MatchResult, match, pos_neg_masks
+from .position_encoding import sine_position_embedding
+
+
+def build_model(cfg):
+    """Build the configured meta-architecture (reference: modeling/meta_arch/build.py:16)."""
+    name = cfg.MODEL.META_ARCHITECTURE
+    builder = {"IDOL": build_idol_model}.get(name)
+    if builder is None:
+        # fall back to registry classes constructed with defaults
+        return META_ARCH_REGISTRY.get(name)()
+    return builder(cfg)
+
+
+__all__ = [
+    "BACKBONE_REGISTRY",
+    "ResNet",
+    "build_resnet_backbone",
+    "MaskHeadSmallConv",
+    "num_dynamic_params",
+    "run_dynamic_mask_head",
+    "Targets",
+    "default_weight_dict",
+    "DeformableTransformer",
+    "MSDeformAttnModule",
+    "IDOL",
+    "META_ARCH_REGISTRY",
+    "build_idol_model",
+    "build_model",
+    "MLP",
+    "ConvGN",
+    "FrozenBatchNorm",
+    "MultiHeadAttention",
+    "inverse_sigmoid",
+    "MatchResult",
+    "match",
+    "pos_neg_masks",
+    "sine_position_embedding",
+]

@@ -1,0 +1,148 @@
+"""ResNet backbone (flax, NHWC, frozen BN) for detection/VIS.
+
+Capability parity with the reference's torchvision-style ResNet used by IDOL
+(idol/models/backbone.py:96 Backbone; detectron2/modeling/backbone/resnet.py for the
+core runtime). Bottleneck places the stride on the 3x3 conv (torchvision layout,
+stride_in_1x1=False) so torchvision/reference checkpoints import directly.
+
+Returns a dict of NHWC feature maps {"res2", "res3", "res4", "res5"}.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..layers import FrozenBatchNorm
+from ...utils.registry import Registry
+
+Array = jnp.ndarray
+Dtype = Any
+
+BACKBONE_REGISTRY = Registry("BACKBONE")
+
+_DEPTH_TO_BLOCKS = {
+    18: (2, 2, 2, 2),
+    34: (3, 4, 6, 3),
+    50: (3, 4, 6, 3),
+    101: (3, 4, 23, 3),
+    152: (3, 8, 36, 3),
+}
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3(stride) -> 1x1 with residual; frozen BN."""
+
+    mid_channels: int
+    out_channels: int
+    stride: int = 1
+    dilation: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        identity = x
+        conv_kwargs = dict(use_bias=False, dtype=self.dtype)
+
+        out = nn.Conv(self.mid_channels, (1, 1), name="conv1", **conv_kwargs)(x)
+        out = FrozenBatchNorm(self.mid_channels, dtype=self.dtype, name="bn1")(out)
+        out = nn.relu(out)
+
+        d = self.dilation
+        out = nn.Conv(
+            self.mid_channels,
+            (3, 3),
+            strides=(self.stride, self.stride),
+            padding=[(d, d), (d, d)],
+            kernel_dilation=(d, d),
+            name="conv2",
+            **conv_kwargs,
+        )(out)
+        out = FrozenBatchNorm(self.mid_channels, dtype=self.dtype, name="bn2")(out)
+        out = nn.relu(out)
+
+        out = nn.Conv(self.out_channels, (1, 1), name="conv3", **conv_kwargs)(out)
+        out = FrozenBatchNorm(self.out_channels, dtype=self.dtype, name="bn3")(out)
+
+        if x.shape[-1] != self.out_channels or self.stride != 1:
+            identity = nn.Conv(
+                self.out_channels,
+                (1, 1),
+                strides=(self.stride, self.stride),
+                name="downsample_conv",
+                **conv_kwargs,
+            )(x)
+            identity = FrozenBatchNorm(self.out_channels, dtype=self.dtype, name="downsample_bn")(identity)
+
+        return nn.relu(out + identity)
+
+
+class ResNet(nn.Module):
+    """ResNet-{50,101,152} trunk producing res2..res5 (NHWC)."""
+
+    depth: int = 50
+    out_features: Sequence[str] = ("res3", "res4", "res5")
+    res5_dilation: int = 1
+    dtype: Dtype = jnp.float32
+
+    @property
+    def output_strides(self) -> Dict[str, int]:
+        s = {"res2": 4, "res3": 8, "res4": 16, "res5": 32}
+        if self.res5_dilation == 2:
+            s["res5"] = 16
+        return s
+
+    @property
+    def output_channels(self) -> Dict[str, int]:
+        return {"res2": 256, "res3": 512, "res4": 1024, "res5": 2048}
+
+    @nn.compact
+    def __call__(self, x: Array) -> Dict[str, Array]:
+        blocks = _DEPTH_TO_BLOCKS[self.depth]
+        assert self.depth >= 50, "only bottleneck ResNets are supported"
+
+        # stem
+        x = nn.Conv(
+            64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], use_bias=False,
+            dtype=self.dtype, name="conv1",
+        )(x)
+        x = FrozenBatchNorm(64, dtype=self.dtype, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+        outputs = {}
+        mid = 64
+        out_ch = 256
+        for stage_idx, num_blocks in enumerate(blocks):
+            stage_name = f"res{stage_idx + 2}"
+            first_stride = 1 if stage_idx == 0 else 2
+            dilation = 1
+            if stage_name == "res5" and self.res5_dilation == 2:
+                first_stride = 1
+                dilation = 2
+            for b in range(num_blocks):
+                x = Bottleneck(
+                    mid_channels=mid,
+                    out_channels=out_ch,
+                    stride=first_stride if b == 0 else 1,
+                    dilation=dilation,
+                    dtype=self.dtype,
+                    name=f"layer{stage_idx + 1}_{b}",
+                )(x)
+            outputs[stage_name] = x
+            mid *= 2
+            out_ch *= 2
+
+        return {k: v for k, v in outputs.items() if k in set(self.out_features) or k in ("res2",)}
+
+
+@BACKBONE_REGISTRY.register()
+def build_resnet_backbone(cfg, dtype=jnp.float32) -> ResNet:
+    return ResNet(
+        depth=cfg.MODEL.RESNETS.DEPTH,
+        out_features=tuple(cfg.MODEL.RESNETS.OUT_FEATURES),
+        res5_dilation=cfg.MODEL.RESNETS.RES5_DILATION,
+        dtype=dtype,
+    )

@@ -1,0 +1,328 @@
+"""Deformable transformer (flax) — the IDOL/SeqFormer detection trunk.
+
+Capability parity with idol/models/deformable_transformer.py:28 and the MSDeformAttn
+module (idol/models/ops/modules/ms_deform_attn.py:30), rebuilt TPU-first:
+
+- all spatial shapes are static python tuples — the whole transformer jits once;
+- the sampling/weighting core runs through vnext_tpu.ops.ms_deform_attn (pure-jnp
+  gather math or the Pallas TPU kernel);
+- padding is handled with rectangle validity masks derived from per-image sizes
+  instead of boolean mask tensors + cumsums.
+
+Box refinement (with_box_refine=True, the IDOL configuration) keeps per-layer
+bbox MLPs inside this module; per-layer class heads live in the meta-arch.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.ms_deform_attn import ms_deform_attn
+from .layers import MLP, MultiHeadAttention, inverse_sigmoid
+
+Array = jnp.ndarray
+Dtype = Any
+
+
+def _offset_bias_init(n_heads: int, n_levels: int, n_points: int):
+    """Head-direction grid bias for sampling offsets (reference init scheme)."""
+    thetas = np.arange(n_heads, dtype=np.float32) * (2.0 * math.pi / n_heads)
+    grid = np.stack([np.cos(thetas), np.sin(thetas)], -1)  # [M, 2]
+    grid = grid / np.abs(grid).max(-1, keepdims=True)
+    grid = np.tile(grid[:, None, None, :], (1, n_levels, n_points, 1))
+    for i in range(n_points):
+        grid[:, :, i, :] *= i + 1
+    flat = grid.reshape(-1)
+
+    def init(key, shape, dtype=jnp.float32):
+        assert shape == (flat.shape[0],), shape
+        return jnp.asarray(flat, dtype)
+
+    return init
+
+
+class MSDeformAttnModule(nn.Module):
+    """Multi-scale deformable attention layer (projections + sampling core)."""
+
+    d_model: int = 256
+    n_levels: int = 4
+    n_heads: int = 8
+    n_points: int = 4
+    dtype: Dtype = jnp.float32
+    impl: str = "auto"
+
+    @nn.compact
+    def __call__(
+        self,
+        query: Array,                      # [B, Q, C]
+        reference_points: Array,           # [B, Q, L, 2] or [B, Q, L, 4], in [0,1]
+        src: Array,                        # [B, S, C] flattened multi-level features
+        spatial_shapes: Sequence[Tuple[int, int]],
+        padding_mask: Optional[Array] = None,  # [B, S] True on padding
+    ) -> Array:
+        b, q, _ = query.shape
+        m, l, p = self.n_heads, self.n_levels, self.n_points
+        d = self.d_model // m
+
+        value = nn.Dense(self.d_model, dtype=self.dtype, name="value_proj")(src)
+        if padding_mask is not None:
+            value = jnp.where(padding_mask[..., None], 0.0, value)
+        value = value.reshape(b, -1, m, d)
+
+        offsets = nn.Dense(
+            m * l * p * 2,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.zeros,
+            bias_init=_offset_bias_init(m, l, p),
+            name="sampling_offsets",
+        )(query).reshape(b, q, m, l, p, 2)
+
+        attn = nn.Dense(
+            m * l * p,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="attention_weights",
+        )(query).reshape(b, q, m, l * p)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        attn = attn.reshape(b, q, m, l, p)
+
+        offsets = offsets.astype(jnp.float32)
+        ref = reference_points.astype(jnp.float32)
+        if reference_points.shape[-1] == 2:
+            # normalize offsets by each level's (W, H)
+            wh = jnp.asarray([[w, h] for h, w in spatial_shapes], dtype=jnp.float32)  # [L, 2]
+            loc = ref[:, :, None, :, None, :] + offsets / wh[None, None, None, :, None, :]
+        else:
+            loc = (
+                ref[:, :, None, :, None, :2]
+                + offsets / p * ref[:, :, None, :, None, 2:] * 0.5
+            )
+
+        out = ms_deform_attn(value, spatial_shapes, loc, attn, impl=self.impl)
+        return nn.Dense(self.d_model, dtype=self.dtype, name="output_proj")(out)
+
+
+class EncoderLayer(nn.Module):
+    d_model: int = 256
+    d_ffn: int = 1024
+    n_levels: int = 4
+    n_heads: int = 8
+    n_points: int = 4
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+    msda_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, src, pos, reference_points, spatial_shapes, padding_mask, train: bool):
+        attn_out = MSDeformAttnModule(
+            self.d_model, self.n_levels, self.n_heads, self.n_points,
+            dtype=self.dtype, impl=self.msda_impl, name="self_attn",
+        )(src + pos, reference_points, src, spatial_shapes, padding_mask)
+        attn_out = nn.Dropout(self.dropout, deterministic=not train)(attn_out)
+        src = nn.LayerNorm(dtype=self.dtype, name="norm1")(src + attn_out)
+
+        ff = nn.Dense(self.d_ffn, dtype=self.dtype, name="linear1")(src)
+        ff = nn.relu(ff)
+        ff = nn.Dropout(self.dropout, deterministic=not train)(ff)
+        ff = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(ff)
+        ff = nn.Dropout(self.dropout, deterministic=not train)(ff)
+        return nn.LayerNorm(dtype=self.dtype, name="norm2")(src + ff)
+
+
+class DecoderLayer(nn.Module):
+    d_model: int = 256
+    d_ffn: int = 1024
+    n_levels: int = 4
+    n_heads: int = 8
+    n_points: int = 4
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+    msda_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, tgt, query_pos, reference_points, src, spatial_shapes, padding_mask, train: bool):
+        q = tgt + query_pos
+        sa = MultiHeadAttention(self.n_heads, dtype=self.dtype, name="self_attn")(q, q, tgt)
+        sa = nn.Dropout(self.dropout, deterministic=not train)(sa)
+        tgt = nn.LayerNorm(dtype=self.dtype, name="norm2")(tgt + sa)
+
+        ca = MSDeformAttnModule(
+            self.d_model, self.n_levels, self.n_heads, self.n_points,
+            dtype=self.dtype, impl=self.msda_impl, name="cross_attn",
+        )(tgt + query_pos, reference_points, src, spatial_shapes, padding_mask)
+        ca = nn.Dropout(self.dropout, deterministic=not train)(ca)
+        tgt = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt + ca)
+
+        ff = nn.Dense(self.d_ffn, dtype=self.dtype, name="linear1")(tgt)
+        ff = nn.relu(ff)
+        ff = nn.Dropout(self.dropout, deterministic=not train)(ff)
+        ff = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(ff)
+        ff = nn.Dropout(self.dropout, deterministic=not train)(ff)
+        return nn.LayerNorm(dtype=self.dtype, name="norm3")(tgt + ff)
+
+
+def encoder_reference_points(
+    spatial_shapes: Sequence[Tuple[int, int]], valid_ratios: Array
+) -> Array:
+    """[B, S, L, 2] normalized per-level grid reference points scaled by valid ratios."""
+    refs = []
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        ry = (jnp.arange(h, dtype=jnp.float32) + 0.5)[:, None]  # [h,1]
+        rx = (jnp.arange(w, dtype=jnp.float32) + 0.5)[None, :]  # [1,w]
+        ry = jnp.broadcast_to(ry, (h, w)).reshape(-1)
+        rx = jnp.broadcast_to(rx, (h, w)).reshape(-1)
+        # normalize by the *valid* extent of this level
+        ry = ry[None] / (valid_ratios[:, None, lvl, 1] * h)
+        rx = rx[None] / (valid_ratios[:, None, lvl, 0] * w)
+        refs.append(jnp.stack([rx, ry], -1))  # [B, hw, 2]
+    ref = jnp.concatenate(refs, 1)  # [B, S, 2]
+    return ref[:, :, None] * valid_ratios[:, None]  # [B, S, L, 2]
+
+
+class DeformableTransformer(nn.Module):
+    """Encoder + box-refining decoder over flattened multi-level features."""
+
+    d_model: int = 256
+    n_heads: int = 8
+    num_encoder_layers: int = 6
+    num_decoder_layers: int = 6
+    d_ffn: int = 1024
+    dropout: float = 0.1
+    num_feature_levels: int = 4
+    enc_n_points: int = 4
+    dec_n_points: int = 4
+    with_box_refine: bool = True
+    dtype: Dtype = jnp.float32
+    msda_impl: str = "auto"
+
+    def setup(self):
+        self.level_embed = self.param(
+            "level_embed", nn.initializers.normal(1.0), (self.num_feature_levels, self.d_model)
+        )
+        self.encoder_layers = [
+            EncoderLayer(
+                self.d_model, self.d_ffn, self.num_feature_levels, self.n_heads,
+                self.enc_n_points, self.dropout, self.dtype, self.msda_impl, name=f"encoder_{i}",
+            )
+            for i in range(self.num_encoder_layers)
+        ]
+        self.decoder_layers = [
+            DecoderLayer(
+                self.d_model, self.d_ffn, self.num_feature_levels, self.n_heads,
+                self.dec_n_points, self.dropout, self.dtype, self.msda_impl, name=f"decoder_{i}",
+            )
+            for i in range(self.num_decoder_layers)
+        ]
+        self.reference_points_fc = nn.Dense(
+            2, dtype=self.dtype, kernel_init=nn.initializers.xavier_uniform(), name="reference_points"
+        )
+        if self.with_box_refine:
+            # independent bbox head per decoder layer; layer 0's final bias [2:] = -2.0
+            def make(i):
+                bias_init = None
+                if i == 0:
+                    def bias_init(key, shape, dtype=jnp.float32):
+                        b = jnp.zeros(shape, dtype)
+                        return b.at[2:].set(-2.0)
+                return MLP(
+                    self.d_model, 4, 3, dtype=self.dtype,
+                    final_kernel_init=nn.initializers.zeros,
+                    final_bias_init=bias_init or nn.initializers.zeros,
+                    name=f"bbox_embed_{i}",
+                )
+
+            self.bbox_embeds = [make(i) for i in range(self.num_decoder_layers)]
+        else:
+            self.bbox_embeds = None
+
+    def __call__(
+        self,
+        srcs: List[Array],                 # L x [B, H_l, W_l, C]
+        valid_hw: List[Array],             # L x [B, 2] valid (h, w) per level
+        pos_embeds: List[Array],           # L x [B, H_l, W_l, C]
+        query_embed: Array,                # [Q, 2C]
+        train: bool = False,
+    ):
+        b = srcs[0].shape[0]
+        c = self.d_model
+        spatial_shapes = tuple((int(s.shape[1]), int(s.shape[2])) for s in srcs)
+
+        src_flat, pos_flat, mask_flat = [], [], []
+        for lvl, (src, pos) in enumerate(zip(srcs, pos_embeds)):
+            h, w = spatial_shapes[lvl]
+            src_flat.append(src.reshape(b, h * w, c))
+            pos_flat.append(
+                pos.reshape(b, h * w, c) + self.level_embed[lvl][None, None].astype(pos.dtype)
+            )
+            ys = jnp.arange(h)[None, :, None]
+            xs = jnp.arange(w)[None, None, :]
+            vh = valid_hw[lvl][:, 0][:, None, None]
+            vw = valid_hw[lvl][:, 1][:, None, None]
+            pad = ~((ys < vh) & (xs < vw))
+            mask_flat.append(pad.reshape(b, h * w))
+        src_flat = jnp.concatenate(src_flat, 1)      # [B, S, C]
+        pos_flat = jnp.concatenate(pos_flat, 1)
+        mask_flat = jnp.concatenate(mask_flat, 1)    # [B, S]
+
+        # valid ratios [B, L, 2] in (w, h) order
+        vr = []
+        for lvl, (h, w) in enumerate(spatial_shapes):
+            vw = valid_hw[lvl][:, 1].astype(jnp.float32) / w
+            vh = valid_hw[lvl][:, 0].astype(jnp.float32) / h
+            vr.append(jnp.stack([vw, vh], -1))
+        valid_ratios = jnp.stack(vr, 1)
+
+        # encoder
+        enc_ref = encoder_reference_points(spatial_shapes, valid_ratios)
+        memory = src_flat
+        for layer in self.encoder_layers:
+            memory = layer(memory, pos_flat, enc_ref, spatial_shapes, mask_flat, train)
+
+        # decoder
+        query_pos, tgt = jnp.split(query_embed, 2, axis=1)
+        query_pos = jnp.broadcast_to(query_pos[None], (b, *query_pos.shape)).astype(self.dtype)
+        tgt = jnp.broadcast_to(tgt[None], (b, *tgt.shape)).astype(self.dtype)
+        reference_points = jax.nn.sigmoid(
+            self.reference_points_fc(query_pos).astype(jnp.float32)
+        )
+        init_reference = reference_points
+
+        hs_layers, ref_layers, coord_layers = [], [], []
+        output = tgt
+        for lid, layer in enumerate(self.decoder_layers):
+            if reference_points.shape[-1] == 4:
+                ref_input = (
+                    reference_points[:, :, None]
+                    * jnp.concatenate([valid_ratios, valid_ratios], -1)[:, None]
+                )
+            else:
+                ref_input = reference_points[:, :, None] * valid_ratios[:, None]
+            output = layer(
+                output, query_pos, ref_input, memory, spatial_shapes, mask_flat, train
+            )
+            if self.bbox_embeds is not None:
+                tmp = self.bbox_embeds[lid](output).astype(jnp.float32)
+                if reference_points.shape[-1] == 4:
+                    new_ref = jax.nn.sigmoid(tmp + inverse_sigmoid(reference_points))
+                else:
+                    new_ref = jax.nn.sigmoid(
+                        tmp.at[..., :2].add(inverse_sigmoid(reference_points))
+                    )
+                # the undetached refined box is the layer's box prediction
+                # (reference: deformable_detr.py:196-214 outputs_coord)
+                coord_layers.append(new_ref)
+                reference_points = jax.lax.stop_gradient(new_ref)
+            hs_layers.append(output)
+            ref_layers.append(reference_points)
+
+        hs = jnp.stack(hs_layers)                    # [n_dec, B, Q, C]
+        inter_references = jnp.stack(ref_layers)     # [n_dec, B, Q, 2 or 4]
+        out_coords = jnp.stack(coord_layers) if coord_layers else inter_references
+        return hs, memory, init_reference, inter_references, out_coords
