@@ -75,6 +75,30 @@ def _mlp(key_prefix: str, out_prefix: Tuple[str, ...], sd, out, num_layers=3):
         _linear(f"{key_prefix}.layers.{j}", out_prefix + (f"layers_{j}",), sd, out)
 
 
+def _convert_swin_backbone(bb: str, sd, out) -> None:
+    """Map detection-Swin names (idol/backbone/swin.py) to our SwinTransformer tree."""
+    _conv(f"{bb}.patch_embed.proj", ("backbone", "patch_embed"), sd, out)
+    _norm(f"{bb}.patch_embed.norm", ("backbone", "patch_norm"), sd, out)
+    for s in range(4):
+        b = 0
+        while f"{bb}.layers.{s}.blocks.{b}.norm1.weight" in sd:
+            pre = f"{bb}.layers.{s}.blocks.{b}"
+            tgt = ("backbone", f"layers_{s}_blocks_{b}")
+            _norm(f"{pre}.norm1", tgt + ("norm1",), sd, out)
+            _norm(f"{pre}.norm2", tgt + ("norm2",), sd, out)
+            _linear(f"{pre}.attn.qkv", tgt + ("attn", "qkv"), sd, out)
+            _linear(f"{pre}.attn.proj", tgt + ("attn", "proj"), sd, out)
+            tbl = sd.get(f"{pre}.attn.relative_position_bias_table")
+            if tbl is not None:
+                out[tgt + ("attn", "relative_position_bias_table")] = tbl
+            _linear(f"{pre}.mlp.fc1", tgt + ("mlp_fc1",), sd, out)
+            _linear(f"{pre}.mlp.fc2", tgt + ("mlp_fc2",), sd, out)
+            b += 1
+        _linear(f"{bb}.layers.{s}.downsample.reduction", ("backbone", f"downsample_{s}", "reduction"), sd, out)
+        _norm(f"{bb}.layers.{s}.downsample.norm", ("backbone", f"downsample_{s}", "norm"), sd, out)
+        _norm(f"{bb}.norm{s}", ("backbone", f"out_norm{s}"), sd, out)
+
+
 def convert_idol_checkpoint(
     sd: Dict[str, np.ndarray],
     dec_layers: int = 6,
@@ -87,23 +111,25 @@ def convert_idol_checkpoint(
     # strip common wrapper prefixes
     sd = { re.sub(r"^(module\.)", "", k): v for k, v in sd.items() }
 
-    # ---- backbone (detectron2 ResNet naming under detr.detr.backbone.0.backbone.)
+    # ---- backbone (detectron2 ResNet or Swin under detr.detr.backbone.0.backbone.)
     bb = "detr.detr.backbone.0.backbone"
-    _conv(f"{bb}.stem.conv1", ("backbone", "conv1"), sd, out)
-    _frozen_bn(f"{bb}.stem.conv1.norm", ("backbone", "bn1"), sd, out)
-    stage_blocks = {2: 64, 3: 64, 4: 64, 5: 64}  # upper bound on block count per stage
-    for s in (2, 3, 4, 5):
-        b = 0
-        while f"{bb}.res{s}.{b}.conv1.weight" in sd:
-            pre = f"{bb}.res{s}.{b}"
-            tgt = ("backbone", f"layer{s - 1}_{b}")
-            for j in (1, 2, 3):
-                _conv(f"{pre}.conv{j}", tgt + (f"conv{j}",), sd, out)
-                _frozen_bn(f"{pre}.conv{j}.norm", tgt + (f"bn{j}",), sd, out)
-            if f"{pre}.shortcut.weight" in sd:
-                _conv(f"{pre}.shortcut", tgt + ("downsample_conv",), sd, out)
-                _frozen_bn(f"{pre}.shortcut.norm", tgt + ("downsample_bn",), sd, out)
-            b += 1
+    if f"{bb}.patch_embed.proj.weight" in sd:
+        _convert_swin_backbone(bb, sd, out)
+    else:
+        _conv(f"{bb}.stem.conv1", ("backbone", "conv1"), sd, out)
+        _frozen_bn(f"{bb}.stem.conv1.norm", ("backbone", "bn1"), sd, out)
+        for s in (2, 3, 4, 5):
+            b = 0
+            while f"{bb}.res{s}.{b}.conv1.weight" in sd:
+                pre = f"{bb}.res{s}.{b}"
+                tgt = ("backbone", f"layer{s - 1}_{b}")
+                for j in (1, 2, 3):
+                    _conv(f"{pre}.conv{j}", tgt + (f"conv{j}",), sd, out)
+                    _frozen_bn(f"{pre}.conv{j}.norm", tgt + (f"bn{j}",), sd, out)
+                if f"{pre}.shortcut.weight" in sd:
+                    _conv(f"{pre}.shortcut", tgt + ("downsample_conv",), sd, out)
+                    _frozen_bn(f"{pre}.shortcut.norm", tgt + ("downsample_bn",), sd, out)
+                b += 1
 
     # ---- input projections
     for i in range(num_feature_levels):

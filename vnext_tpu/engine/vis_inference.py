@@ -187,7 +187,7 @@ class IDOLVideoInference:
             box_score = scores_t[indices].max(axis=1)
             det_bboxes = np.concatenate([boxes[t][indices], box_score[:, None]], axis=1)
             det_labels = scores_t[indices].argmax(axis=1)
-            track_feats = embeds[indices]
+            track_feats = embeds[t][indices]
             det_masks = masks[t][indices]
             _, _, ids, kept_indices = tracker.match(
                 det_bboxes, det_labels, det_masks, track_feats, t, list(indices)

@@ -6,12 +6,13 @@ from .idol import IDOL, META_ARCH_REGISTRY, build_idol_model
 from .layers import MLP, ConvGN, FrozenBatchNorm, MultiHeadAttention, inverse_sigmoid
 from .matcher import MatchResult, match, pos_neg_masks
 from .position_encoding import sine_position_embedding
+from .seqformer import ClipTargets, SeqFormer, build_seqformer_model
 
 
 def build_model(cfg):
     """Build the configured meta-architecture (reference: modeling/meta_arch/build.py:16)."""
     name = cfg.MODEL.META_ARCHITECTURE
-    builder = {"IDOL": build_idol_model}.get(name)
+    builder = {"IDOL": build_idol_model, "SeqFormer": build_seqformer_model}.get(name)
     if builder is None:
         # fall back to registry classes constructed with defaults
         return META_ARCH_REGISTRY.get(name)()
