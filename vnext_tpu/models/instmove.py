@@ -84,6 +84,7 @@ class MotionMemory(nn.Module):
     """Learned motion memory with cosine addressing (reference Memory :185-241)."""
 
     memory_size: int = 100
+    embed_channels: int = 128
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -110,11 +111,11 @@ class MotionMemory(nn.Module):
 
         # embedder: 2x transposed-conv upsampling to 1/4 resolution, 128 ch
         feature = nn.relu(
-            nn.ConvTranspose(256, (3, 3), strides=(2, 2), padding="SAME",
+            nn.ConvTranspose(self.embed_channels * 2, (3, 3), strides=(2, 2), padding="SAME",
                              dtype=self.dtype, name="embed1")(feature)
         )
         feature = nn.relu(
-            nn.ConvTranspose(128, (3, 3), strides=(2, 2), padding="SAME",
+            nn.ConvTranspose(self.embed_channels, (3, 3), strides=(2, 2), padding="SAME",
                              dtype=self.dtype, name="embed2")(feature)
         )
         return feature
@@ -123,35 +124,39 @@ class MotionMemory(nn.Module):
 class Decoder(nn.Module):
     """Image-conditioned mask decoder (reference Decoder_block :46-68)."""
 
+    channels: int = 256
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, img_feats: Dict[str, Array]) -> Array:
-        """x: [B, H/4, W/4, 256]; img_feats: res2 [B,H/4,W/4,256], res3 [B,H/8,W/8,512]."""
+        """x: [B, H/4, W/4, C]; img_feats: res2 [B,H/4,W/4,256], res3 [B,H/8,W/8,512]."""
         from ..ops.interpolate import resize_bilinear
 
+        ch = self.channels
         # layer_1: fuse the 1/8 skip (upsampled 2x)
-        skip = nn.Conv(256, (3, 3), padding="SAME", dtype=self.dtype, name="skip1")(
+        skip = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype, name="skip1")(
             img_feats["res3"]
         )
         skip = resize_bilinear(
             skip.transpose(0, 3, 1, 2), x.shape[1], x.shape[2]
         ).transpose(0, 2, 3, 1)
-        x = ResBlock(256, dtype=self.dtype, name="res1")(x + skip)
+        if x.shape[-1] != ch:
+            x = nn.Conv(ch, (1, 1), dtype=self.dtype, name="in_proj")(x)
+        x = ResBlock(ch, dtype=self.dtype, name="res1")(x + skip)
         x = nn.elu(
-            nn.ConvTranspose(128, (3, 3), strides=(2, 2), padding="SAME",
+            nn.ConvTranspose(ch // 2, (3, 3), strides=(2, 2), padding="SAME",
                              dtype=self.dtype, name="up_m")(x)
         )
-        skip2 = nn.Conv(128, (3, 3), padding="SAME", dtype=self.dtype, name="skip2")(
+        skip2 = nn.Conv(ch // 2, (3, 3), padding="SAME", dtype=self.dtype, name="skip2")(
             img_feats["res2"]
         )
         skip2 = resize_bilinear(
             skip2.transpose(0, 3, 1, 2), x.shape[1], x.shape[2]
         ).transpose(0, 2, 3, 1)
-        x = ResBlock(128, dtype=self.dtype, name="res2")(x + skip2)
-        x = nn.elu(nn.ConvTranspose(64, (3, 3), strides=(1, 1), padding="SAME",
+        x = ResBlock(ch // 2, dtype=self.dtype, name="res2")(x + skip2)
+        x = nn.elu(nn.ConvTranspose(ch // 4, (3, 3), strides=(1, 1), padding="SAME",
                                     dtype=self.dtype, name="up_f1")(x))
-        x = nn.elu(nn.ConvTranspose(64, (3, 3), strides=(2, 2), padding="SAME",
+        x = nn.elu(nn.ConvTranspose(ch // 4, (3, 3), strides=(2, 2), padding="SAME",
                                     dtype=self.dtype, name="up_f2")(x))
         return nn.ConvTranspose(1, (3, 3), strides=(1, 1), padding="SAME",
                                 dtype=self.dtype, name="out")(x)
@@ -166,23 +171,28 @@ class InstMovePredictor(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
+        ch = self.lstm_channels
         self.mask_encoder_convs = [
-            nn.Conv(64, (3, 3), strides=(2, 2), padding="SAME", dtype=self.dtype, name="enc1"),
-            nn.Conv(64, (3, 3), padding="SAME", dtype=self.dtype, name="enc2"),
-            nn.Conv(128, (3, 3), strides=(2, 2), padding="SAME", dtype=self.dtype, name="enc3"),
-            nn.Conv(128, (3, 3), padding="SAME", dtype=self.dtype, name="enc4"),
+            nn.Conv(ch // 2, (3, 3), strides=(2, 2), padding="SAME", dtype=self.dtype, name="enc1"),
+            nn.Conv(ch // 2, (3, 3), padding="SAME", dtype=self.dtype, name="enc2"),
+            nn.Conv(ch, (3, 3), strides=(2, 2), padding="SAME", dtype=self.dtype, name="enc3"),
+            nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype, name="enc4"),
         ]
         self.lstm_cells = [
             ConvLSTMCell(self.lstm_channels, dtype=self.dtype, name=f"convlstm_{i}")
             for i in range(self.num_lstm_layers)
         ]
-        self.memory = MotionMemory(self.memory_size, dtype=self.dtype, name="memory")
+        self.memory = MotionMemory(
+            self.memory_size, embed_channels=self.lstm_channels, dtype=self.dtype, name="memory"
+        )
         self.image_encoder = ResNet(
             depth=50, out_features=("res2", "res3"), dtype=self.dtype, name="encoder_img"
         )
         self.attn_fc1 = nn.Dense(16, dtype=self.dtype, name="attn_fc1")
         self.attn_fc2 = nn.Dense(self.lstm_channels, dtype=self.dtype, name="attn_fc2")
-        self.decoder = Decoder(dtype=self.dtype, name="decoder")
+        self.decoder = Decoder(
+            channels=2 * self.lstm_channels, dtype=self.dtype, name="decoder"
+        )
 
     def _encode_mask(self, m: Array) -> Array:
         x = m

@@ -1,0 +1,160 @@
+"""Pallas TPU kernel for multi-scale deformable attention.
+
+Why a kernel: XLA lowers the op's 4-corner bilinear gather (millions of random
+32-float row reads per layer) to a sequential scalar loop on TPU — measured at
+~560 ms per encoder layer on v5e for eval shapes, dominating inference.
+
+TPU-first reformulation (no gathers at all): bilinear sampling is separable, so
+for one feature level V in [H, W*D]:
+
+    sample(q, p) = Rx[q,p] . (Ry[q,p] @ V)        # Ry: [H], Rx: [W] row selectors
+
+where Ry/Rx each have <= 2 nonzeros (the bilinear corner weights), built densely
+with iota comparisons. Stacking (q, p) rows turns the gather into one
+[TQ*P, H] @ [H, W*D] matmul per query tile — pure MXU work, with the [TQ*P, W*D]
+intermediate living only in VMEM. Out-of-bounds corners get zero weight, exactly
+reproducing grid_sample's zero padding (validated against ops/ms_deform_attn.py
+and the reference's own CUDA-vs-grid_sample test scheme, idol/models/ops/test.py:32).
+
+Forward-only kernel; gradients fall back to the jnp core via custom_vjp (a
+matching backward kernel is the natural next step — dV is the transposed matmul).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jnp.ndarray
+
+_VMEM_BUDGET = 10 * 1024 * 1024  # bytes for the U intermediate
+
+
+def _choose_tile(q: int, p: int, w: int, d: int) -> Tuple[int, int]:
+    """(query tile TQ, W chunk) so U = [TQ*P, Wc*D] f32 fits the budget."""
+    tq = 128
+    while tq > 8 and tq * p * w * d * 4 > _VMEM_BUDGET:
+        tq //= 2
+    wc = w
+    while tq == 8 and tq * p * wc * d * 4 > _VMEM_BUDGET and wc > 8:
+        wc = (wc + 1) // 2
+    return tq, wc
+
+
+def _level_kernel(loc_ref, w_ref, value_ref, out_ref, *, H, W, D, P, TQ):
+    """One (bm, query-tile) program.
+
+    loc_ref: [1, TQ, P, 2] normalized sampling locations for this level
+    w_ref:   [1, TQ, P]    attention weights
+    value_ref: [1, H, W*D] level features
+    out_ref: [1, TQ, D]    weighted sampled output
+    """
+    loc = loc_ref[0].astype(jnp.float32)        # [TQ, P, 2]
+    attn = w_ref[0].astype(jnp.float32)         # [TQ, P]
+
+    x = loc[:, :, 0] * W - 0.5                  # [TQ, P]
+    y = loc[:, :, 1] * H - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx = (x - x0).reshape(TQ * P, 1)
+    ty = (y - y0).reshape(TQ * P, 1)
+    x0 = x0.reshape(TQ * P, 1)
+    y0 = y0.reshape(TQ * P, 1)
+
+    iota_h = jax.lax.broadcasted_iota(jnp.float32, (TQ * P, H), 1)
+    # two-corner row selector; OOB corners never match the iota -> zero weight
+    ry = jnp.where(iota_h == y0, 1.0 - ty, 0.0) + jnp.where(iota_h == y0 + 1.0, ty, 0.0)
+
+    iota_w = jax.lax.broadcasted_iota(jnp.float32, (TQ * P, W), 1)
+    rx = jnp.where(iota_w == x0, 1.0 - tx, 0.0) + jnp.where(iota_w == x0 + 1.0, tx, 0.0)
+    # fold the attention weight into the column selector
+    rx = rx * attn.reshape(TQ * P, 1)
+
+    v = value_ref[0]                            # [H, W*D]
+    u = jnp.dot(ry.astype(v.dtype), v, preferred_element_type=jnp.float32)  # [TQ*P, W*D]
+    u = u.reshape(TQ * P, W, D)
+    samp = jnp.sum(u * rx[:, :, None], axis=1)  # [TQ*P, D]
+    out = jnp.sum(samp.reshape(TQ, P, D), axis=1)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _sample_level(value_l: Array, loc_l: Array, w_l: Array, H: int, W: int) -> Array:
+    """value_l: [BM, H, W*D]; loc_l: [BM, Q, P, 2]; w_l: [BM, Q, P] -> [BM, Q, D]."""
+    bm, q, p, _ = loc_l.shape
+    d = value_l.shape[-1] // W
+    tq, _ = _choose_tile(q, p, W, d)
+    q_pad = ((q + tq - 1) // tq) * tq
+    if q_pad != q:
+        loc_l = jnp.pad(loc_l, ((0, 0), (0, q_pad - q), (0, 0), (0, 0)), constant_values=0.5)
+        w_l = jnp.pad(w_l, ((0, 0), (0, q_pad - q), (0, 0)))
+
+    kernel = functools.partial(_level_kernel, H=H, W=W, D=d, P=p, TQ=tq)
+    flops = 2 * bm * q_pad * p * H * W * d
+    out = pl.pallas_call(
+        kernel,
+        grid=(bm, q_pad // tq),
+        in_specs=[
+            pl.BlockSpec((1, tq, p, 2), lambda b, t: (b, t, 0, 0)),
+            pl.BlockSpec((1, tq, p), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, H, W * d), lambda b, t: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tq, d), lambda b, t: (b, t, 0)),
+        out_shape=jax.ShapeDtypeStruct((bm, q_pad, d), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=value_l.size * 2 + loc_l.size * 4, transcendentals=0
+        ),
+        interpret=jax.default_backend() != "tpu",  # CPU tests run interpreted
+    )(loc_l, w_l, value_l)
+    return out[:, :q]
+
+
+def _forward(value, spatial_shapes, sampling_locations, attention_weights):
+    B, S, M, D = value.shape
+    _, Q, _, L, P, _ = sampling_locations.shape
+    spatial_shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
+
+    value_bm = jnp.moveaxis(value, 2, 1).reshape(B * M, S, D)
+    loc_bm = jnp.moveaxis(sampling_locations, 2, 1).reshape(B * M, Q, L, P, 2)
+    w_bm = jnp.moveaxis(attention_weights, 2, 1).reshape(B * M, Q, L, P)
+
+    out = jnp.zeros((B * M, Q, D), jnp.float32)
+    start = 0
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v_l = jax.lax.dynamic_slice_in_dim(value_bm, start, h * w, axis=1)
+        v_l = v_l.reshape(B * M, h, w * D)
+        out = out + _sample_level(v_l, loc_bm[:, :, lvl], w_bm[:, :, lvl], h, w)
+        start += h * w
+
+    out = out.reshape(B, M, Q, D)
+    return jnp.moveaxis(out, 1, 2).reshape(B, Q, M * D).astype(value.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def ms_deform_attn_pallas(value, spatial_shapes, sampling_locations, attention_weights):
+    """Drop-in replacement for ms_deform_attn_core_jnp on TPU (forward kernel)."""
+    return _forward(value, spatial_shapes, sampling_locations, attention_weights)
+
+
+def _fwd(value, spatial_shapes, sampling_locations, attention_weights):
+    out = _forward(value, spatial_shapes, sampling_locations, attention_weights)
+    return out, (value, sampling_locations, attention_weights)
+
+
+def _bwd(spatial_shapes, residuals, g):
+    # gradients via the jnp reference implementation's autodiff (correct, slower);
+    # a dedicated backward kernel (transposed matmuls) is a planned optimization.
+    from .ms_deform_attn import ms_deform_attn_core_jnp
+
+    value, loc, attn = residuals
+    _, vjp = jax.vjp(
+        lambda v, l, a: ms_deform_attn_core_jnp(v, spatial_shapes, l, a), value, loc, attn
+    )
+    return vjp(g)
+
+
+ms_deform_attn_pallas.defvjp(_fwd, _bwd)
