@@ -126,6 +126,10 @@ def do_train(cfg, resume=False):
     import numpy as np
 
     register_all_ytvis()
+    if cfg.INPUT.COCO_PRETRAIN:
+        from vnext_tpu.data import register_all_coco
+
+        register_all_coco()
     model = build_idol_model(cfg)
     mesh = build_mesh(tuple(cfg.TPU.MESH_SHAPE), tuple(cfg.TPU.MESH_AXIS_NAMES))
 
@@ -169,7 +173,12 @@ def do_train(cfg, resume=False):
     with mesh:
         state = state.replace(params=replicate(state.params, mesh),
                               opt_state=replicate(state.opt_state, mesh))
-        loader = build_vis_train_loader(cfg, seed=max(cfg.SEED, 0))
+        mapper = None
+        if cfg.INPUT.COCO_PRETRAIN:
+            from vnext_tpu.data import CocoClipDatasetMapper
+
+            mapper = CocoClipDatasetMapper.from_config(cfg, is_train=True)
+        loader = build_vis_train_loader(cfg, mapper=mapper, seed=max(cfg.SEED, 0))
         trainer = VISTrainer(
             train_step, state, loader, jax.random.PRNGKey(max(cfg.SEED, 0)),
             pixel_mean=cfg.MODEL.PIXEL_MEAN, pixel_std=cfg.MODEL.PIXEL_STD,

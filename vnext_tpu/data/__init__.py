@@ -6,7 +6,9 @@ from .build import (
     build_vis_test_loader,
     build_vis_train_loader,
 )
+from .coco_clip_mapper import CocoClipDatasetMapper
 from .dataset_mapper import YTVISDatasetMapper
+from .datasets.coco import load_coco_json, register_all_coco, register_coco_instances
 from .datasets.ytvis import (
     OVIS_CLASSES,
     YTVIS_2019_CLASSES,
@@ -26,6 +28,10 @@ __all__ = [
     "build_vis_test_loader",
     "build_vis_train_loader",
     "YTVISDatasetMapper",
+    "CocoClipDatasetMapper",
+    "load_coco_json",
+    "register_all_coco",
+    "register_coco_instances",
     "OVIS_CLASSES",
     "YTVIS_2019_CLASSES",
     "YTVIS_2021_CLASSES",

@@ -36,14 +36,11 @@ _VMEM_BUDGET = 10 * 1024 * 1024  # bytes for the U intermediate
 
 
 def _choose_tile(q: int, p: int, w: int, d: int) -> Tuple[int, int]:
-    """(query tile TQ, W chunk) so U = [TQ*P, Wc*D] f32 fits the budget."""
+    """Query tile TQ such that the two [TQ*P, W*D] f32 intermediates fit VMEM."""
     tq = 128
-    while tq > 8 and tq * p * w * d * 4 > _VMEM_BUDGET:
+    while tq > 8 and tq * p * w * d * 8 > _VMEM_BUDGET:
         tq //= 2
-    wc = w
-    while tq == 8 and tq * p * wc * d * 4 > _VMEM_BUDGET and wc > 8:
-        wc = (wc + 1) // 2
-    return tq, wc
+    return tq, w
 
 
 def _level_kernel(loc_ref, w_ref, value_ref, out_ref, *, H, W, D, P, TQ):
@@ -53,6 +50,11 @@ def _level_kernel(loc_ref, w_ref, value_ref, out_ref, *, H, W, D, P, TQ):
     w_ref:   [1, TQ, P]    attention weights
     value_ref: [1, H, W*D] level features
     out_ref: [1, TQ, D]    weighted sampled output
+
+    Everything stays 2D with 128-lane-friendly shapes: the row interpolation is
+    one MXU matmul; the column interpolation is a lane-indexed elementwise mask
+    followed by a matmul against a constant group-sum matrix (no [.., W, D]
+    reshape, which would force Mosaic into a 4x lane-padded 3D layout).
     """
     loc = loc_ref[0].astype(jnp.float32)        # [TQ, P, 2]
     attn = w_ref[0].astype(jnp.float32)         # [TQ, P]
@@ -65,21 +67,35 @@ def _level_kernel(loc_ref, w_ref, value_ref, out_ref, *, H, W, D, P, TQ):
     ty = (y - y0).reshape(TQ * P, 1)
     x0 = x0.reshape(TQ * P, 1)
     y0 = y0.reshape(TQ * P, 1)
+    attn_col = attn.reshape(TQ * P, 1)
 
     iota_h = jax.lax.broadcasted_iota(jnp.float32, (TQ * P, H), 1)
     # two-corner row selector; OOB corners never match the iota -> zero weight
     ry = jnp.where(iota_h == y0, 1.0 - ty, 0.0) + jnp.where(iota_h == y0 + 1.0, ty, 0.0)
 
-    iota_w = jax.lax.broadcasted_iota(jnp.float32, (TQ * P, W), 1)
-    rx = jnp.where(iota_w == x0, 1.0 - tx, 0.0) + jnp.where(iota_w == x0 + 1.0, tx, 0.0)
-    # fold the attention weight into the column selector
-    rx = rx * attn.reshape(TQ * P, 1)
-
     v = value_ref[0]                            # [H, W*D]
     u = jnp.dot(ry.astype(v.dtype), v, preferred_element_type=jnp.float32)  # [TQ*P, W*D]
-    u = u.reshape(TQ * P, W, D)
-    samp = jnp.sum(u * rx[:, :, None], axis=1)  # [TQ*P, D]
-    out = jnp.sum(samp.reshape(TQ, P, D), axis=1)
+
+    # column selector indexed by lane group: lane l covers (w = l // D, d = l % D)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (TQ * P, W * D), 1)
+    w_of_l = (iota_l // D).astype(jnp.float32)
+    rx_big = (
+        jnp.where(w_of_l == x0, 1.0 - tx, 0.0) + jnp.where(w_of_l == x0 + 1.0, tx, 0.0)
+    ) * attn_col
+    prod = u * rx_big                           # [TQ*P, W*D]
+
+    # group-sum over w: constant 0/1 matrix G[l, d] = (l % D == d)
+    iota_rows = jax.lax.broadcasted_iota(jnp.int32, (W * D, D), 0)
+    iota_cols = jax.lax.broadcasted_iota(jnp.int32, (W * D, D), 1)
+    g = (iota_rows % D == iota_cols).astype(jnp.float32)
+    samp = jnp.dot(prod, g, preferred_element_type=jnp.float32)  # [TQ*P, D]
+
+    # sum over the P points: contiguous row-block reshape + tiny group-sum matmul
+    samp2 = samp.reshape(TQ, P * D)
+    iota_r2 = jax.lax.broadcasted_iota(jnp.int32, (P * D, D), 0)
+    iota_c2 = jax.lax.broadcasted_iota(jnp.int32, (P * D, D), 1)
+    g2 = (iota_r2 % D == iota_c2).astype(jnp.float32)
+    out = jnp.dot(samp2, g2, preferred_element_type=jnp.float32)  # [TQ, D]
     out_ref[0] = out.astype(out_ref.dtype)
 
 
