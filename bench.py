@@ -12,9 +12,17 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import jax
+
+# persistent compilation cache: the driver re-runs this across rounds, and
+# remote-TPU compiles are expensive
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -227,3 +227,37 @@ def test_mask_nms_input_order_semantics():
     m[2, 4:, 4:] = 10.0
     keep = np.asarray(mask_nms_keep(jnp.asarray(m), jnp.asarray([0.1, 0.9, 0.5]), 0.5))
     assert keep.tolist() == [True, False, True]
+
+
+def test_msda_factorized_xla_matches_oracle():
+    from vnext_tpu.ops.ms_deform_attn import ms_deform_attn_factorized_xla
+
+    value, shapes, loc, attn = _random_msda_inputs(seed=7)
+    ref = np.asarray(
+        _msda_torch_oracle(
+            torch.from_numpy(value), shapes, torch.from_numpy(loc), torch.from_numpy(attn)
+        )
+    )
+    out = np.asarray(
+        ms_deform_attn_factorized_xla(
+            jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(attn), chunk=4
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_msda_factorized_xla_gradients():
+    from vnext_tpu.ops.ms_deform_attn import (
+        ms_deform_attn_core_jnp,
+        ms_deform_attn_factorized_xla,
+    )
+
+    value, shapes, loc, attn = _random_msda_inputs(seed=8, B=1, M=2, D=4, Q=6, P=2)
+    args = (jnp.asarray(value), jnp.asarray(loc), jnp.asarray(attn))
+
+    g1 = jax.grad(lambda v, l, a: jnp.sum(ms_deform_attn_factorized_xla(v, shapes, l, a, chunk=3) ** 2),
+                  argnums=(0, 1, 2))(*args)
+    g2 = jax.grad(lambda v, l, a: jnp.sum(ms_deform_attn_core_jnp(v, shapes, l, a) ** 2),
+                  argnums=(0, 1, 2))(*args)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)

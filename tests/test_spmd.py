@@ -1,0 +1,66 @@
+"""SPMD data-parallel tests on the virtual 8-device mesh (the capability the
+reference only exercises by launching real 2-GPU jobs — SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vnext_tpu.parallel import build_mesh, replicate, shard_batch
+
+
+def test_mesh_and_sharding():
+    mesh = build_mesh((-1,), ("data",))
+    assert mesh.devices.size == len(jax.devices())
+    x = np.arange(16 * 4, dtype=np.float32).reshape(16, 4)
+    sx = shard_batch(x, mesh)
+    assert sx.sharding.spec == jax.sharding.PartitionSpec("data")
+    r = replicate(jnp.ones(3), mesh)
+    assert r.sharding.spec == jax.sharding.PartitionSpec()
+
+
+def test_sharded_train_step_matches_single_device():
+    """One SPMD step over 8 devices == the same step on one device."""
+    from vnext_tpu.config import add_idol_config, get_cfg
+    from vnext_tpu.engine.train_step import TrainState, make_train_step
+    from vnext_tpu.models.criterion import default_weight_dict
+    from vnext_tpu.solver import build_optimizer
+    from _tiny_idol import H, W, K, make_model, random_targets
+
+    model = make_model()
+    n = 8
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(n, H, W, 3), jnp.float32)
+    sizes = jnp.asarray([[H, W]] * n, jnp.int32)
+    t1 = random_targets(rng)
+    targets = jax.tree_util.tree_map(lambda x: jnp.concatenate([x] * n), t1)
+
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        images[:1], sizes[:1], images[:1], sizes[:1], t1, t1, train=False,
+    )["params"]
+    cfg = get_cfg()
+    add_idol_config(cfg)
+    tx = build_optimizer(cfg, params)
+    step = make_train_step(model, tx, default_weight_dict(dec_layers=2), donate=False)
+    batch = (images, sizes, images, sizes, targets, targets)
+
+    # single-device (default placement)
+    s0 = TrainState.create(params, tx)
+    _, m_single = step(s0, batch, jax.random.PRNGKey(3))
+
+    # 8-device mesh
+    mesh = build_mesh((8,), ("data",))
+    with mesh:
+        s1 = TrainState.create(replicate(params, mesh), tx)
+        s1 = s1.replace(opt_state=replicate(s1.opt_state, mesh))
+        sharded = shard_batch(batch, mesh)
+        s1b, m_mesh = step(s1, sharded, jax.random.PRNGKey(3))
+
+    for k in m_single:
+        np.testing.assert_allclose(
+            float(m_single[k]), float(m_mesh[k]), rtol=2e-4, atol=2e-5, err_msg=k
+        )
+    # updated params are replicated and finite
+    leaf = jax.tree_util.tree_leaves(s1b.params)[0]
+    assert np.isfinite(np.asarray(leaf)).all()

@@ -43,18 +43,22 @@ def _choose_tile(q: int, p: int, w: int, d: int) -> Tuple[int, int]:
     return tq, w
 
 
-def _level_kernel(loc_ref, w_ref, value_ref, out_ref, *, H, W, D, P, TQ):
+def _level_kernel(loc_ref, w_ref, value_ref, wl_ref, g_ref, g2_ref, out_ref, *, H, W, D, P, TQ):
     """One (bm, query-tile) program.
 
     loc_ref: [1, TQ, P, 2] normalized sampling locations for this level
     w_ref:   [1, TQ, P]    attention weights
     value_ref: [1, H, W*D] level features
+    wl_ref:  [1, W*D]      constant: column index of each lane (l // D)
+    g_ref:   [W*D, D]      constant 0/1 group-sum matrix (l % D == d)
+    g2_ref:  [P*D, D]      constant 0/1 point-sum matrix
     out_ref: [1, TQ, D]    weighted sampled output
 
     Everything stays 2D with 128-lane-friendly shapes: the row interpolation is
     one MXU matmul; the column interpolation is a lane-indexed elementwise mask
     followed by a matmul against a constant group-sum matrix (no [.., W, D]
-    reshape, which would force Mosaic into a 4x lane-padded 3D layout).
+    reshape, which would force Mosaic into a 4x lane-padded 3D layout). The
+    integer index helpers are precomputed host-side constants.
     """
     loc = loc_ref[0].astype(jnp.float32)        # [TQ, P, 2]
     attn = w_ref[0].astype(jnp.float32)         # [TQ, P]
@@ -76,26 +80,22 @@ def _level_kernel(loc_ref, w_ref, value_ref, out_ref, *, H, W, D, P, TQ):
     v = value_ref[0]                            # [H, W*D]
     u = jnp.dot(ry.astype(v.dtype), v, preferred_element_type=jnp.float32)  # [TQ*P, W*D]
 
-    # column selector indexed by lane group: lane l covers (w = l // D, d = l % D)
-    iota_l = jax.lax.broadcasted_iota(jnp.int32, (TQ * P, W * D), 1)
-    w_of_l = (iota_l // D).astype(jnp.float32)
+    # column selector indexed by lane group: lane l covers column w = l // D
+    w_of_l = wl_ref[0].reshape(1, W * D)
     rx_big = (
         jnp.where(w_of_l == x0, 1.0 - tx, 0.0) + jnp.where(w_of_l == x0 + 1.0, tx, 0.0)
     ) * attn_col
     prod = u * rx_big                           # [TQ*P, W*D]
 
-    # group-sum over w: constant 0/1 matrix G[l, d] = (l % D == d)
-    iota_rows = jax.lax.broadcasted_iota(jnp.int32, (W * D, D), 0)
-    iota_cols = jax.lax.broadcasted_iota(jnp.int32, (W * D, D), 1)
-    g = (iota_rows % D == iota_cols).astype(jnp.float32)
-    samp = jnp.dot(prod, g, preferred_element_type=jnp.float32)  # [TQ*P, D]
+    samp = jnp.dot(
+        prod, g_ref[:].astype(jnp.float32), preferred_element_type=jnp.float32
+    )  # [TQ*P, D]
 
     # sum over the P points: contiguous row-block reshape + tiny group-sum matmul
     samp2 = samp.reshape(TQ, P * D)
-    iota_r2 = jax.lax.broadcasted_iota(jnp.int32, (P * D, D), 0)
-    iota_c2 = jax.lax.broadcasted_iota(jnp.int32, (P * D, D), 1)
-    g2 = (iota_r2 % D == iota_c2).astype(jnp.float32)
-    out = jnp.dot(samp2, g2, preferred_element_type=jnp.float32)  # [TQ, D]
+    out = jnp.dot(
+        samp2, g2_ref[:].astype(jnp.float32), preferred_element_type=jnp.float32
+    )  # [TQ, D]
     out_ref[0] = out.astype(out_ref.dtype)
 
 
@@ -111,6 +111,15 @@ def _sample_level(value_l: Array, loc_l: Array, w_l: Array, H: int, W: int) -> A
 
     kernel = functools.partial(_level_kernel, H=H, W=W, D=d, P=p, TQ=tq)
     flops = 2 * bm * q_pad * p * H * W * d
+
+    import numpy as np
+
+    w_of_l = jnp.asarray(
+        (np.arange(W * d) // d).astype(np.float32)[None, :]
+    )  # [1, W*D]
+    g = jnp.asarray((np.arange(W * d)[:, None] % d == np.arange(d)[None, :]).astype(np.float32))
+    g2 = jnp.asarray((np.arange(p * d)[:, None] % d == np.arange(d)[None, :]).astype(np.float32))
+
     out = pl.pallas_call(
         kernel,
         grid=(bm, q_pad // tq),
@@ -118,6 +127,9 @@ def _sample_level(value_l: Array, loc_l: Array, w_l: Array, H: int, W: int) -> A
             pl.BlockSpec((1, tq, p, 2), lambda b, t: (b, t, 0, 0)),
             pl.BlockSpec((1, tq, p), lambda b, t: (b, t, 0)),
             pl.BlockSpec((1, H, W * d), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((1, W * d), lambda b, t: (0, 0)),
+            pl.BlockSpec((W * d, d), lambda b, t: (0, 0)),
+            pl.BlockSpec((p * d, d), lambda b, t: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, tq, d), lambda b, t: (b, t, 0)),
         out_shape=jax.ShapeDtypeStruct((bm, q_pad, d), jnp.float32),
@@ -125,7 +137,7 @@ def _sample_level(value_l: Array, loc_l: Array, w_l: Array, H: int, W: int) -> A
             flops=flops, bytes_accessed=value_l.size * 2 + loc_l.size * 4, transcendentals=0
         ),
         interpret=jax.default_backend() != "tpu",  # CPU tests run interpreted
-    )(loc_l, w_l, value_l)
+    )(loc_l, w_l, value_l, w_of_l, g, g2)
     return out[:, :q]
 
 
