@@ -261,3 +261,41 @@ def test_msda_factorized_xla_gradients():
                   argnums=(0, 1, 2))(*args)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# roi_align / paste_masks
+# ---------------------------------------------------------------------------
+def test_paste_masks_matches_torch_grid_sample():
+    """paste_masks_in_image vs the reference's own grid_sample formulation
+    (detectron2/layers/mask_ops.py _do_paste_mask)."""
+    from vnext_tpu.ops.mask_ops import paste_masks_in_image
+
+    rng = np.random.RandomState(6)
+    n, m, H, W = 3, 8, 24, 32
+    masks = rng.rand(n, m, m).astype(np.float32)
+    boxes = np.asarray(
+        [[2.0, 3.0, 18.0, 15.0], [-4.0, -2.0, 10.0, 12.0], [20.0, 10.0, 35.0, 26.0]],
+        np.float32,
+    )
+
+    # torch oracle: grid_sample the mask onto the pixel grid of its box
+    t_masks = torch.from_numpy(masks)[:, None]
+    ys = torch.arange(H, dtype=torch.float32) + 0.5
+    xs = torch.arange(W, dtype=torch.float32) + 0.5
+    refs = []
+    for i in range(n):
+        x0, y0, x1, y1 = boxes[i]
+        gy = ((ys - y0) / (y1 - y0)) * 2 - 1
+        gx = ((xs - x0) / (x1 - x0)) * 2 - 1
+        grid = torch.stack(torch.meshgrid(gy, gx, indexing="ij"), dim=-1)[..., [1, 0]]
+        sampled = F.grid_sample(
+            t_masks[i : i + 1], grid[None], align_corners=False, padding_mode="zeros"
+        )
+        refs.append(sampled[0, 0].numpy())
+    ref = np.stack(refs) >= 0.5
+
+    out = np.asarray(
+        paste_masks_in_image(jnp.asarray(masks), jnp.asarray(boxes), (H, W), 0.5)
+    )
+    np.testing.assert_array_equal(out, ref)

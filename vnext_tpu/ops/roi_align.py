@@ -1,0 +1,84 @@
+"""ROIAlign (jnp, matmul-based bilinear sampling).
+
+Capability parity with detectron2/layers/roi_align.py (torchvision roi_align with
+aligned=True): for each ROI, each output bin averages sampling_ratio^2 bilinear
+samples. TPU-first form: per-ROI separable row/column interpolation matrices turn
+the whole pooling into two einsums (no gathers).
+
+Suitable for ROI-head workloads (N ROIs x 7x7/14x14 bins); per-ROI feature
+gathering broadcasts the image's feature map over its ROIs.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+
+def _axis_weights(starts: Array, bin_size: Array, n_bins: int, s: int, size: int) -> Array:
+    """[N, n_bins*s, size] bilinear weights for one axis.
+
+    starts: [N] roi start coordinate (already scaled + aligned); bin_size: [N].
+    Sample positions: start + (bin + (j+0.5)/s) * bin_size.
+    """
+    n = starts.shape[0]
+    bin_idx = jnp.arange(n_bins, dtype=jnp.float32)[:, None]
+    sub = (jnp.arange(s, dtype=jnp.float32)[None, :] + 0.5) / s
+    offs = (bin_idx + sub).reshape(-1)  # [n_bins*s]
+    pos = starts[:, None] + offs[None, :] * bin_size[:, None]  # [N, n_bins*s]
+    # bilinear weights with edge clamping (torchvision: x <= -1 or >= size -> 0;
+    # otherwise clamp into [0, size-1])
+    valid = (pos > -1.0) & (pos < size)
+    pc = jnp.clip(pos, 0.0, size - 1.0)
+    lo = jnp.floor(pc)
+    frac = pc - lo
+    grid = jnp.arange(size, dtype=jnp.float32)[None, None, :]
+    w = (
+        jnp.where(grid == lo[..., None], 1.0 - frac[..., None], 0.0)
+        + jnp.where(grid == jnp.minimum(lo + 1, size - 1)[..., None], frac[..., None], 0.0)
+    )
+    # when lo == size-1, frac==0 so the duplicate index contributes 0... except
+    # exactly at the edge where lo+1 == lo: ensure total weight 1
+    w = jnp.where(valid[..., None], w, 0.0)
+    return w
+
+
+def roi_align(
+    features: Array,        # [B, H, W, C]
+    rois: Array,            # [N, 5]: (batch_idx, x1, y1, x2, y2) in image coords
+    output_size: Tuple[int, int] = (7, 7),
+    spatial_scale: float = 1.0,
+    sampling_ratio: int = 2,
+    aligned: bool = True,
+) -> Array:
+    """Returns [N, out_h, out_w, C]."""
+    b, h, w, c = features.shape
+    out_h, out_w = output_size
+    s = max(sampling_ratio, 1)
+
+    batch_idx = rois[:, 0].astype(jnp.int32)
+    offset = 0.5 if aligned else 0.0
+    x1 = rois[:, 1] * spatial_scale - offset
+    y1 = rois[:, 2] * spatial_scale - offset
+    x2 = rois[:, 3] * spatial_scale - offset
+    y2 = rois[:, 4] * spatial_scale - offset
+    roi_w = x2 - x1
+    roi_h = y2 - y1
+    if not aligned:
+        roi_w = jnp.maximum(roi_w, 1.0)
+        roi_h = jnp.maximum(roi_h, 1.0)
+    bin_w = roi_w / out_w
+    bin_h = roi_h / out_h
+
+    wy = _axis_weights(y1, bin_h, out_h, s, h)  # [N, out_h*s, H]
+    wx = _axis_weights(x1, bin_w, out_w, s, w)  # [N, out_w*s, W]
+
+    feats = features[batch_idx]                  # [N, H, W, C]
+    t = jnp.einsum("nqh,nhwc->nqwc", wy, feats)  # [N, out_h*s, W, C]
+    o = jnp.einsum("npw,nqwc->nqpc", wx, t)      # [N, out_h*s, out_w*s, C]
+    o = o.reshape(rois.shape[0], out_h, s, out_w, s, c).mean(axis=(2, 4))
+    return o
