@@ -145,6 +145,39 @@ class BestCheckpointer(HookBase):
             logger.info("New best %s=%.4f at iter %d", self._metric, value, self.trainer.iter)
 
 
+class ProfilerHook(HookBase):
+    """Capture a device trace for a window of steps (reference surface:
+    engine/hooks.py:376 TorchProfiler -> jax.profiler)."""
+
+    def __init__(self, output_dir: str, start_iter: int = 10, num_steps: int = 5):
+        self._dir = output_dir
+        self._start = start_iter
+        self._stop = start_iter + num_steps
+        self._active = False
+
+    def before_step(self):
+        if self.trainer.iter == self._start and not self._active:
+            import jax
+
+            jax.profiler.start_trace(self._dir)
+            self._active = True
+
+    def after_step(self):
+        if self.trainer.iter + 1 >= self._stop and self._active:
+            import jax
+
+            jax.profiler.stop_trace()
+            self._active = False
+            logger.info("Profiler trace written to %s", self._dir)
+
+    def after_train(self):
+        if self._active:
+            import jax
+
+            jax.profiler.stop_trace()
+            self._active = False
+
+
 def _flatten(d, prefix=""):
     for k, v in d.items():
         key = f"{prefix}{k}"

@@ -5,9 +5,16 @@ from .interpolate import (
     resize_bilinear_ac,
     resize_nearest,
 )
+from .hungarian import auction_lap, hungarian, hungarian_match
 from .losses import dice_loss, sigmoid_bce_with_logits, sigmoid_focal_loss, sigmoid_focal_loss_elementwise
-from .ms_deform_attn import ms_deform_attn, ms_deform_attn_core_jnp
+from .mask_ops import paste_masks_in_image
+from .ms_deform_attn import (
+    ms_deform_attn,
+    ms_deform_attn_core_jnp,
+    ms_deform_attn_factorized_xla,
+)
 from .nms import batched_nms_mask, mask_nms_keep, nms_mask
+from .roi_align import roi_align
 
 __all__ = [
     "aligned_bilinear",
@@ -21,7 +28,13 @@ __all__ = [
     "sigmoid_focal_loss_elementwise",
     "ms_deform_attn",
     "ms_deform_attn_core_jnp",
+    "ms_deform_attn_factorized_xla",
     "batched_nms_mask",
     "mask_nms_keep",
     "nms_mask",
+    "hungarian",
+    "hungarian_match",
+    "auction_lap",
+    "paste_masks_in_image",
+    "roi_align",
 ]
