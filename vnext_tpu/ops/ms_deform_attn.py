@@ -113,6 +113,8 @@ def ms_deform_attn_factorized_xla(
     loc_bm = jnp.moveaxis(sampling_locations, 2, 1).reshape(B * M, Q, L, P, 2)
     w_bm = jnp.moveaxis(attention_weights, 2, 1).reshape(B * M, Q, L, P)
 
+    # don't pad small query counts (e.g. the 300-query decoder) up to a full chunk
+    chunk = min(chunk, ((Q + 7) // 8) * 8)
     n_chunks = -(-Q // chunk)
     q_pad = n_chunks * chunk
     if q_pad != Q:
