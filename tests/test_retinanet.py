@@ -115,3 +115,19 @@ def test_retinanet_inference_shapes(tiny_retinanet):
     assert out["scores"].shape == (1, 10)
     assert out["classes"].shape == (1, 10)
     assert np.isfinite(np.asarray(out["boxes"])).all()
+
+
+def test_tta_wrapper(tiny_retinanet):
+    from vnext_tpu.models.retinanet import RetinaNet
+    from vnext_tpu.models.tta import DetectorWithTTA
+
+    model, params, images, _ = tiny_retinanet
+    infer = jax.jit(lambda x: model.apply({"params": params}, x, method=RetinaNet.inference))
+    tta = DetectorWithTTA(infer, min_sizes=(48, 64), flip=True, max_detections=8)
+    out = tta(images)
+    assert out["boxes"].shape == (1, 8, 4)
+    assert out["scores"].shape == (1, 8)
+    assert np.isfinite(np.asarray(out["boxes"])).all()
+    # merged scores are sorted descending
+    s = np.asarray(out["scores"][0])
+    assert (np.diff(s) <= 1e-6).all()

@@ -35,3 +35,7 @@ __all__ = [
     "polygons_to_bitmask",
     "ImageList",
 ]
+
+from .boxes import RotatedBoxes  # noqa: E402
+
+__all__.append("RotatedBoxes")

@@ -202,3 +202,43 @@ class Boxes:
     @classmethod
     def cat(cls, boxes_list) -> "Boxes":
         return cls(jnp.concatenate([b.tensor for b in boxes_list], axis=0))
+
+
+@jax.tree_util.register_pytree_node_class
+class RotatedBoxes:
+    """(N, 5) (cx, cy, w, h, angle_deg) boxes (reference: structures/rotated_boxes.py)."""
+
+    def __init__(self, tensor: Array):
+        tensor = jnp.asarray(tensor, dtype=jnp.float32)
+        if tensor.ndim != 2 or tensor.shape[-1] != 5:
+            raise ValueError(f"RotatedBoxes tensor must be (N, 5), got {tensor.shape}")
+        self.tensor = tensor
+
+    def tree_flatten(self):
+        return (self.tensor,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.tensor = children[0]
+        return obj
+
+    def area(self) -> Array:
+        return self.tensor[:, 2] * self.tensor[:, 3]
+
+    def normalize_angles(self) -> "RotatedBoxes":
+        a = (self.tensor[:, 4] + 180.0) % 360.0 - 180.0
+        return RotatedBoxes(self.tensor.at[:, 4].set(a))
+
+    def __len__(self) -> int:
+        return self.tensor.shape[0]
+
+    def __getitem__(self, item) -> "RotatedBoxes":
+        t = self.tensor[item]
+        if t.ndim == 1:
+            t = t[None]
+        return RotatedBoxes(t)
+
+    @classmethod
+    def cat(cls, boxes_list) -> "RotatedBoxes":
+        return cls(jnp.concatenate([b.tensor for b in boxes_list], axis=0))
