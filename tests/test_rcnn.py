@@ -1,0 +1,74 @@
+"""GeneralizedRCNN / RPN / ROI-heads tests (tiny shapes, reference test style)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vnext_tpu.models.rcnn import GeneralizedRCNN, assign_fpn_levels
+from vnext_tpu.models.retinanet import DetTargets
+
+
+def test_assign_fpn_levels():
+    rois = jnp.asarray(
+        [[0, 0, 56, 56], [0, 0, 224, 224], [0, 0, 448, 448], [0, 0, 1000, 1000]],
+        jnp.float32,
+    )
+    lvl = np.asarray(assign_fpn_levels(rois))
+    assert lvl.tolist() == [2, 4, 5, 5]
+
+
+@pytest.fixture(scope="module")
+def tiny_rcnn():
+    model = GeneralizedRCNN(
+        num_classes=4, fpn_channels=32, proposals_per_image=32,
+        roi_batch_per_image=16, max_detections=8,
+    )
+    images = jnp.zeros((1, 64, 96, 3))
+    sizes = jnp.asarray([[64, 96]], jnp.int32)
+    targets = DetTargets(
+        labels=jnp.asarray([[1, 2, 0]], jnp.int32),
+        boxes=jnp.asarray([[[8, 8, 40, 40], [50, 20, 90, 60], [0, 0, 1, 1]]], jnp.float32),
+        valid=jnp.asarray([[True, True, False]]),
+    )
+    params = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0), images, sizes, targets, train=False)["params"]
+    )()
+    return model, params, images, sizes, targets
+
+
+def test_rcnn_train_losses(tiny_rcnn):
+    model, params, images, sizes, targets = tiny_rcnn
+    losses = jax.jit(
+        lambda p: model.apply({"params": p}, images, sizes, targets, train=True,
+                              rng_key=jax.random.PRNGKey(5))
+    )(params)
+    assert set(losses) == {"loss_rpn_cls", "loss_rpn_loc", "loss_cls", "loss_box_reg"}
+    for k, v in losses.items():
+        assert np.isfinite(float(v)) and float(v) >= 0, k
+    assert float(losses["loss_cls"]) > 0
+
+
+def test_rcnn_empty_gt(tiny_rcnn):
+    model, params, images, sizes, targets = tiny_rcnn
+    empty = DetTargets(targets.labels, targets.boxes, jnp.zeros_like(targets.valid))
+    losses = jax.jit(
+        lambda p: model.apply({"params": p}, images, sizes, empty, train=True,
+                              rng_key=jax.random.PRNGKey(5))
+    )(params)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+
+
+def test_rcnn_inference_shapes(tiny_rcnn):
+    model, params, images, sizes, _ = tiny_rcnn
+    out = jax.jit(
+        lambda p: model.apply({"params": p}, images, sizes, method=GeneralizedRCNN.inference)
+    )(params)
+    assert out["boxes"].shape == (1, 8, 4)
+    assert out["scores"].shape == (1, 8)
+    b = np.asarray(out["boxes"])
+    assert np.isfinite(b).all()
+    # boxes clipped to the image
+    assert (b[..., 0::2] <= 96 + 1e-3).all() and (b[..., 1::2] <= 64 + 1e-3).all()
+    assert (b >= -1e-3).all()
