@@ -125,3 +125,49 @@ def test_ytvos_eval_half_iou_detection():
     results[0]["segmentations"] = [rle_encode(m)] * 2
     stats = YTVOSeval(gt, results).evaluate()
     assert 0.0 < stats["AP"] < 1.0
+
+
+def test_coco_evaluator_roundtrip(tmp_path):
+    import json
+    from vnext_tpu.data import DatasetCatalog, MetadataCatalog, register_coco_instances
+    from vnext_tpu.evaluation.coco_eval import COCOEvaluator
+
+    gt = {
+        "images": [{"id": 1, "height": 32, "width": 32, "file_name": "a.jpg"}],
+        "categories": [{"id": 1, "name": "x"}, {"id": 2, "name": "y"}],
+        "annotations": [
+            {"id": 1, "image_id": 1, "category_id": 1, "bbox": [4, 4, 12, 10],
+             "segmentation": [], "iscrowd": 0, "area": 120},
+            {"id": 2, "image_id": 1, "category_id": 2, "bbox": [20, 18, 8, 8],
+             "segmentation": [], "iscrowd": 0, "area": 64},
+        ],
+    }
+    p = tmp_path / "coco.json"
+    p.write_text(json.dumps(gt))
+    name = "coco_eval_test"
+    if name in DatasetCatalog:
+        DatasetCatalog.remove(name)
+        MetadataCatalog.remove(name)
+    register_coco_instances(name, {}, str(p), str(tmp_path))
+    DatasetCatalog.get(name)  # populate metadata id map
+
+    ev = COCOEvaluator(name, tasks=("bbox",), output_dir=str(tmp_path))
+    ev.reset()
+    record = {"image_id": 1, "height": 32, "width": 32}
+    perfect = {
+        "boxes": np.asarray([[4.0, 4, 16, 14], [20, 18, 28, 26]]),
+        "scores": np.asarray([0.9, 0.8]),
+        "classes": np.asarray([0, 1]),  # contiguous ids
+        "valid": np.asarray([True, True]),
+    }
+    ev.process([record], [perfect])
+    res = ev.evaluate()
+    assert res["bbox"]["AP"] == pytest.approx(1.0)
+
+    # wrong classes -> AP 0
+    ev.reset()
+    wrong = dict(perfect)
+    wrong["classes"] = np.asarray([1, 0])
+    ev.process([record], [wrong])
+    res = ev.evaluate()
+    assert res["bbox"]["AP"] == pytest.approx(0.0)
