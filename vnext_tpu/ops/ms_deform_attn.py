@@ -113,8 +113,10 @@ def ms_deform_attn_factorized_xla(
     loc_bm = jnp.moveaxis(sampling_locations, 2, 1).reshape(B * M, Q, L, P, 2)
     w_bm = jnp.moveaxis(attention_weights, 2, 1).reshape(B * M, Q, L, P)
 
-    # don't pad small query counts (e.g. the 300-query decoder) up to a full chunk
-    chunk = min(chunk, ((Q + 7) // 8) * 8)
+    # NOTE(perf, round 2): clamping chunk to ~Q for small query counts (the
+    # 300-query decoder) avoids ~3x padded work, but changes the HLO and thus
+    # invalidates the persistent compile cache; deferred until kernel compiles
+    # are cheap in this environment.
     n_chunks = -(-Q // chunk)
     q_pad = n_chunks * chunk
     if q_pad != Q:
