@@ -171,3 +171,51 @@ def test_coco_evaluator_roundtrip(tmp_path):
     ev.process([record], [wrong])
     res = ev.evaluate()
     assert res["bbox"]["AP"] == pytest.approx(0.0)
+
+
+def test_native_rle_ops_match_python():
+    from vnext_tpu.evaluation import native
+    from vnext_tpu.evaluation.rle import mask_to_counts
+    from vnext_tpu.evaluation.ytvos_eval import _rle_intersection_union, tube_iou
+
+    if not native.available():
+        pytest.skip("no C toolchain")
+    rng = np.random.RandomState(0)
+    for _ in range(5):
+        m1 = rng.rand(23, 17) > 0.5
+        m2 = rng.rand(23, 17) > 0.6
+        r1 = {"size": [23, 17], "counts": mask_to_counts(m1)}
+        r2 = {"size": [23, 17], "counts": mask_to_counts(m2)}
+        i_py, u_py = _rle_intersection_union(r1, r2)
+        i_c, u_c = native.rle_intersection_union_native(r1["counts"], r2["counts"])
+        assert abs(i_py - i_c) < 1e-9 and abs(u_py - u_c) < 1e-9
+
+    # tube matrix vs python tube_iou incl. missing frames + crowd
+    dets = [[r1, r2], [r2, None]]
+    gts = [[r1, r1], [None, r2]]
+    mat = native.tube_iou_matrix_native(dets, gts, [False, True])
+    for d in range(2):
+        for g in range(2):
+            ref = tube_iou(dets[d], gts[g], iscrowd=(g == 1))
+            assert abs(mat[d, g] - ref) < 1e-9, (d, g, mat[d, g], ref)
+
+
+def test_ytvos_eval_native_matches_python_path():
+    from vnext_tpu.evaluation import native
+
+    if not native.available():
+        pytest.skip("no C toolchain")
+    gt, results = _make_gt_and_perfect_results()
+    stats_native = YTVOSeval(gt, results).evaluate()
+    # force python path
+    import vnext_tpu.evaluation.native as nat
+
+    old = nat._LIB, nat._TRIED
+    nat._LIB, nat._TRIED = None, True
+    try:
+        stats_py = YTVOSeval(gt, results).evaluate()
+    finally:
+        nat._LIB, nat._TRIED = old
+    for k in stats_native:
+        if stats_native[k] == stats_native[k]:  # skip NaN
+            assert abs(stats_native[k] - stats_py[k]) < 1e-9, k

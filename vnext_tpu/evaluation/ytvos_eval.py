@@ -106,6 +106,26 @@ def tube_iou(
     return inter / union if union > 0 else 0.0
 
 
+def _tube_iou_matrix(dt_anns, gt_anns) -> np.ndarray:
+    """[D, G] tube IoUs; uses the native C kernel when available
+    (evaluation/native.py — the reference's cocoeval.cpp fast-path analogue)."""
+    from . import native
+
+    if gt_anns and dt_anns and native.available():
+        return native.tube_iou_matrix_native(
+            [d["segmentations"] for d in dt_anns],
+            [g["segmentations"] for g in gt_anns],
+            [bool(g.get("iscrowd", 0)) for g in gt_anns],
+        )
+    iou = np.zeros((len(dt_anns), len(gt_anns)))
+    for di, d in enumerate(dt_anns):
+        for gi, g in enumerate(gt_anns):
+            iou[di, gi] = tube_iou(
+                d["segmentations"], g["segmentations"], iscrowd=bool(g.get("iscrowd", 0))
+            )
+    return iou
+
+
 class YTVOSeval:
     """Greedy COCO-style evaluation over video tubes."""
 
@@ -169,13 +189,7 @@ class YTVOSeval:
                         n_gt_total += int((~gt_ignore).sum())
                         if not dt_anns:
                             continue
-                        iou = np.zeros((len(dt_anns), len(gt_anns)))
-                        for di, d in enumerate(dt_anns):
-                            for gi, g in enumerate(gt_anns):
-                                iou[di, gi] = tube_iou(
-                                    d["segmentations"], g["segmentations"],
-                                    iscrowd=bool(g.get("iscrowd", 0)),
-                                )
+                        iou = _tube_iou_matrix(dt_anns, gt_anns)
                         for ti, thr in enumerate(self.iou_thrs):
                             gt_matched = np.zeros(len(gt_anns), bool)
                             for di, d in enumerate(dt_anns):
