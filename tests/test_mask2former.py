@@ -119,3 +119,25 @@ def test_minvis_motion_cost_breaks_ties():
     motion[1, 4:] = 8.0
     perm = minvis_match_from_embds(e, e, motion_mask=motion, current_mask=cur_mask)
     assert perm.tolist() == [0, 1]
+
+
+def test_minvis_video_inference_driver(tiny_maskformer):
+    from vnext_tpu.data.synthetic import make_image_loader, make_synthetic_videos
+    from vnext_tpu.engine.minvis_inference import MinVISVideoInference
+
+    model, params, _, _, _ = tiny_maskformer
+    records, store = make_synthetic_videos(
+        num_videos=1, length=4, height=100, width=140, max_objects=2, num_classes=5, seed=21
+    )
+    runner = MinVISVideoInference(
+        model, params,
+        window_size=2, topk=5,
+        test_short_edge=64, test_max_size=96, target_size=(H, W),
+        image_loader=make_image_loader(store),
+    )
+    out = runner(records[0])
+    assert out["image_size"] == (100, 140)
+    assert len(out["pred_scores"]) == 5
+    assert len(out["pred_masks"][0]) == 4
+    m = out["pred_masks"][0][0]
+    assert m.shape == (100, 140)
