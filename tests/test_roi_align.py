@@ -76,3 +76,33 @@ def test_roi_align_spatial_scale_and_batch():
     out = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(rois), (5, 5), 0.25, 2))
     ref = _oracle(feat[1].astype(np.float64), rois[0, 1:], (5, 5), 0.25, 2)
     np.testing.assert_allclose(out[0], ref, rtol=1e-4, atol=1e-4)
+
+
+def test_roi_align_rotated_zero_angle_matches_axis_aligned():
+    from vnext_tpu.ops.roi_align_rotated import roi_align_rotated
+
+    rng = np.random.RandomState(3)
+    feat = rng.randn(1, 20, 24, 3).astype(np.float32)
+    # axis-aligned roi as rotated (angle 0): cx,cy,w,h
+    x1, y1, x2, y2 = 4.0, 3.0, 16.0, 15.0
+    rot = np.asarray([[0, (x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1, 0.0]], np.float32)
+    out_rot = np.asarray(roi_align_rotated(jnp.asarray(feat), jnp.asarray(rot), (7, 7), 1.0, 2))
+    aa = np.asarray([[0, x1, y1, x2, y2]], np.float32)
+    out_aa = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(aa), (7, 7), 1.0, 2, aligned=True))
+    np.testing.assert_allclose(out_rot[0], out_aa[0], rtol=1e-4, atol=1e-4)
+
+
+def test_roi_align_rotated_90_matches_transposed():
+    from vnext_tpu.ops.roi_align_rotated import roi_align_rotated
+
+    rng = np.random.RandomState(4)
+    feat = rng.randn(1, 16, 16, 2).astype(np.float32)
+    # a 90°-rotated roi samples the same region with swapped w/h and rotated grid
+    roi0 = np.asarray([[0, 8.0, 8.0, 8.0, 4.0, 0.0]], np.float32)
+    roi90 = np.asarray([[0, 8.0, 8.0, 4.0, 8.0, 90.0]], np.float32)
+    o0 = np.asarray(roi_align_rotated(jnp.asarray(feat), jnp.asarray(roi0), (4, 8), 1.0, 2))
+    o90 = np.asarray(roi_align_rotated(jnp.asarray(feat), jnp.asarray(roi90), (8, 4), 1.0, 2))
+    # rotating the ROI by 90°: the output grid is the transpose flipped along x
+    np.testing.assert_allclose(
+        o0[0], np.flip(o90[0].transpose(1, 0, 2), axis=1), rtol=1e-3, atol=1e-3
+    )
