@@ -38,3 +38,9 @@ __all__ = [
     "paste_masks_in_image",
     "roi_align",
 ]
+
+from .deform_conv import deform_conv2d  # noqa: E402
+from .roi_align_rotated import roi_align_rotated  # noqa: E402
+from .rotated_boxes import nms_rotated_mask, pairwise_iou_rotated  # noqa: E402
+
+__all__ += ["deform_conv2d", "roi_align_rotated", "nms_rotated_mask", "pairwise_iou_rotated"]
