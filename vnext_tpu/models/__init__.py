@@ -44,3 +44,28 @@ __all__ = [
     "pos_neg_masks",
     "sine_position_embedding",
 ]
+
+from .fcos import FCOS  # noqa: E402
+from .instmove import InstMovePredictor, motion_match_cost  # noqa: E402
+from .mask2former import MaskFormer, MaskTargets, minvis_postprocess  # noqa: E402
+from .rcnn import GeneralizedRCNN, StandardROIHeads, RPN  # noqa: E402
+from .retinanet import DetTargets, RetinaNet  # noqa: E402
+from .semantic_seg import SemanticSegmentor, combine_semantic_and_instance_outputs  # noqa: E402
+from .tta import DetectorWithTTA  # noqa: E402
+
+__all__ += [
+    "FCOS",
+    "InstMovePredictor",
+    "motion_match_cost",
+    "MaskFormer",
+    "MaskTargets",
+    "minvis_postprocess",
+    "GeneralizedRCNN",
+    "StandardROIHeads",
+    "RPN",
+    "DetTargets",
+    "RetinaNet",
+    "SemanticSegmentor",
+    "combine_semantic_and_instance_outputs",
+    "DetectorWithTTA",
+]
