@@ -168,6 +168,8 @@ class CfgNode(dict):
 def _merge_a_into_b(a: CfgNode, b: CfgNode, root: CfgNode, key_list: List[str]) -> None:
     for k, v_ in a.items():
         full_key = ".".join(key_list + [k])
+        if not isinstance(v_, (CfgNode, dict)):
+            v_ = _decode_cfg_value(v_)
         if k in b:
             v = _coerce_value_type(v_, b[k], full_key)
             if isinstance(v, CfgNode) and isinstance(b[k], CfgNode):
@@ -181,14 +183,23 @@ def _merge_a_into_b(a: CfgNode, b: CfgNode, root: CfgNode, key_list: List[str]) 
 
 
 def _decode_cfg_value(value: Any) -> Any:
-    """Decode a raw override value (string from CLI) into a python object."""
+    """Decode a raw value (CLI string or yaml leaf) into a python object.
+
+    Like yacs, strings that are python literals (e.g. '("a",)' tuples in yaml
+    files) evaluate to their literal value.
+    """
+    import ast
+
     if isinstance(value, dict):
         return CfgNode(value)
     if not isinstance(value, str):
         return value
     try:
-        loaded = yaml.safe_load(io.StringIO(value))
-        return loaded
+        return ast.literal_eval(value)
+    except (ValueError, SyntaxError):
+        pass
+    try:
+        return yaml.safe_load(io.StringIO(value))
     except yaml.YAMLError:
         return value
 
