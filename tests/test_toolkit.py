@@ -123,3 +123,63 @@ def test_instmove_predictor_tiny():
     cand = jnp.asarray(np.random.RandomState(2).randn(3, 16, 16))
     cost = np.asarray(motion_match_cost(pred, cand))
     assert cost.shape == (2, 3) and (cost >= 0).all() and (cost <= 1).all()
+
+
+def test_keypoints_heatmap_roundtrip():
+    from vnext_tpu.structures.keypoints import Keypoints
+
+    kp = Keypoints(jnp.asarray([[[12.0, 20.0, 2.0], [50.0, 60.0, 0.0]]]))
+    boxes = jnp.asarray([[8.0, 16.0, 40.0, 48.0]])
+    idx, valid = kp.to_heatmap(boxes, heatmap_size=8)
+    assert bool(valid[0, 0]) and not bool(valid[0, 1])  # second kp: vis=0 + outside
+    # decode a synthetic heatmap peaked at that index
+    hm = np.full((1, 8, 8, 2), -10.0, np.float32)
+    i = int(idx[0, 0])
+    hm[0, i // 8, i % 8, 0] = 10.0
+    out = np.asarray(Keypoints.from_heatmap(jnp.asarray(hm), boxes))
+    assert abs(out[0, 0, 0] - 12.0) < 4.0 and abs(out[0, 0, 1] - 20.0) < 4.0
+
+
+def test_async_predictor_order_and_errors():
+    import time
+    from vnext_tpu.engine.predictor import AsyncPredictor
+
+    def slow_sq(x):
+        time.sleep(0.01 * (3 - x))  # earlier items take longer
+        if x == 99:
+            raise ValueError("boom")
+        return x * x
+
+    ap = AsyncPredictor(slow_sq)
+    for i in range(3):
+        ap.put(i)
+    assert [ap.get() for _ in range(3)] == [0, 1, 4]  # order preserved
+    ap.put(99)
+    try:
+        ap.get()
+        assert False, "expected error"
+    except ValueError:
+        pass
+    ap.shutdown()
+
+
+def test_lvis_loader(tmp_path):
+    import json
+    from vnext_tpu.data.datasets.lvis import load_lvis_json
+
+    data = {
+        "images": [{"id": 1, "height": 10, "width": 10,
+                    "coco_url": "http://x/train2017/000001.jpg",
+                    "neg_category_ids": [2]}],
+        "categories": [{"id": 1, "synonyms": ["cat"], "frequency": "f"},
+                       {"id": 2, "synonyms": ["dog"], "frequency": "r"}],
+        "annotations": [{"id": 1, "image_id": 1, "category_id": 2,
+                         "bbox": [1, 1, 4, 4],
+                         "segmentation": [[1, 1, 5, 1, 5, 5, 1, 5]]}],
+    }
+    p = tmp_path / "lvis.json"
+    p.write_text(json.dumps(data))
+    records = load_lvis_json(str(p), "/root_img", "lvis_test_ds")
+    assert records[0]["file_name"].endswith("train2017/000001.jpg")
+    assert records[0]["annotations"][0]["category_id"] == 1  # contiguous
+    assert records[0]["neg_category_ids"] == [2]
