@@ -60,6 +60,44 @@ def test_rcnn_empty_gt(tiny_rcnn):
         assert np.isfinite(float(v)), k
 
 
+def test_mask_rcnn_train_and_inference():
+    model = GeneralizedRCNN(
+        num_classes=4, fpn_channels=32, proposals_per_image=32,
+        roi_batch_per_image=16, max_detections=8, mask_on=True,
+    )
+    images = jnp.zeros((1, 64, 96, 3))
+    sizes = jnp.asarray([[64, 96]], jnp.int32)
+    targets = DetTargets(
+        labels=jnp.asarray([[1, 2, 0]], jnp.int32),
+        boxes=jnp.asarray([[[8, 8, 40, 40], [50, 20, 90, 60], [0, 0, 1, 1]]], jnp.float32),
+        valid=jnp.asarray([[True, True, False]]),
+    )
+    gt_masks = np.zeros((1, 3, 64, 96), np.float32)
+    gt_masks[0, 0, 8:40, 8:40] = 1.0
+    gt_masks[0, 1, 20:60, 50:90] = 1.0
+    gt_masks = jnp.asarray(gt_masks)
+    params = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0), images, sizes, targets, train=True,
+                           gt_masks=gt_masks)["params"]
+    )()
+    losses = jax.jit(
+        lambda p: model.apply({"params": p}, images, sizes, targets, train=True,
+                              rng_key=jax.random.PRNGKey(5), gt_masks=gt_masks)
+    )(params)
+    assert "loss_mask" in losses
+    for k, v in losses.items():
+        assert np.isfinite(float(v)) and float(v) >= 0, k
+    # BCE of random logits vs ~half-on targets should be near log(2) scale, not 0
+    assert float(losses["loss_mask"]) > 0.1
+
+    out = jax.jit(
+        lambda p: model.apply({"params": p}, images, sizes, method=GeneralizedRCNN.inference)
+    )(params)
+    assert out["mask_probs"].shape == (1, 8, 14, 14)
+    mp = np.asarray(out["mask_probs"])
+    assert np.isfinite(mp).all() and (mp >= 0).all() and (mp <= 1).all()
+
+
 def test_rcnn_inference_shapes(tiny_rcnn):
     model, params, images, sizes, _ = tiny_rcnn
     out = jax.jit(

@@ -163,6 +163,21 @@ def test_async_predictor_order_and_errors():
     ap.shutdown()
 
 
+def test_repeat_factor_sampler():
+    from vnext_tpu.data.build import RepeatFactorTrainingSampler
+
+    # 9 images of common cat 0, 1 image of rare cat 1 → rare image repeats ~sqrt(t/f)
+    dicts = [{"annotations": [{"category_id": 0}]} for _ in range(9)]
+    dicts.append({"annotations": [{"category_id": 1}]})
+    sampler = RepeatFactorTrainingSampler(dicts, repeat_thresh=0.9, seed=0)
+    rf = sampler._repeat_factors
+    assert rf[:9].max() == 1.0  # common: freq 0.9 >= thresh
+    assert abs(rf[9] - np.sqrt(0.9 / 0.1)) < 1e-6  # rare: sqrt(9) = 3
+    it = iter(sampler)
+    first_epoch = [next(it) for _ in range(12)]
+    assert first_epoch.count(9) >= 3  # rare image appears >= floor(3) times
+
+
 def test_lvis_loader(tmp_path):
     import json
     from vnext_tpu.data.datasets.lvis import load_lvis_json

@@ -41,6 +41,59 @@ class TrainingSampler:
             yield from order[self._shard :: self._num_shards].tolist()
 
 
+class RepeatFactorTrainingSampler:
+    """Category-frequency rebalancing sampler (reference:
+    samplers/distributed_sampler.py:129, used for LVIS): each image repeats by
+    r(I) = max_{c in I} max(1, sqrt(t / f(c))), with the fractional part applied
+    stochastically per epoch."""
+
+    def __init__(self, dataset_dicts: List[dict], repeat_thresh: float, seed: int = 0,
+                 shard_index: int = 0, num_shards: int = 1):
+        from collections import Counter
+
+        counts: Counter = Counter()
+        n = len(dataset_dicts)
+        for rec in dataset_dicts:
+            annos = rec.get("annotations", [])
+            if annos and isinstance(annos[0], list):  # video records: flatten frames
+                cats = {o["category_id"] for frame in annos for o in frame}
+            else:
+                cats = {o["category_id"] for o in annos}
+            counts.update(cats)
+        freqs = {c: counts[c] / n for c in counts}
+        self._repeat_factors = np.asarray(
+            [
+                max(
+                    [1.0]
+                    + [
+                        max(1.0, np.sqrt(repeat_thresh / freqs[c]))
+                        for c in (
+                            {o["category_id"] for frame in rec.get("annotations", []) for o in frame}
+                            if rec.get("annotations") and isinstance(rec["annotations"][0], list)
+                            else {o["category_id"] for o in rec.get("annotations", [])}
+                        )
+                    ]
+                )
+                for rec in dataset_dicts
+            ]
+        )
+        self._seed = seed
+        self._shard = shard_index
+        self._num_shards = num_shards
+
+    def __iter__(self) -> Iterator[int]:
+        g = np.random.RandomState(self._seed)
+        int_part = np.floor(self._repeat_factors).astype(np.int64)
+        frac = self._repeat_factors - int_part
+        epoch = 0
+        while True:
+            rounds = int_part + (g.rand(len(frac)) < frac)
+            indices = np.repeat(np.arange(len(rounds)), rounds)
+            order = g.permutation(len(indices))
+            yield from indices[order][self._shard :: self._num_shards].tolist()
+            epoch += 1
+
+
 class InferenceSampler:
     """One pass over the dataset, sharded (reference: distributed_sampler.py:245)."""
 

@@ -220,7 +220,9 @@ class GeneralizedRCNN(nn.Module):
         return self.fpn(self.backbone(images))
 
     def __call__(self, images: Array, image_sizes: Array, targets: DetTargets,
-                 train: bool = True, rng_key=None) -> Dict[str, Array]:
+                 train: bool = True, rng_key=None, gt_masks: Array = None) -> Dict[str, Array]:
+        """gt_masks (optional, required when ``mask_on``): [B, K, H, W] float
+        bitmasks aligned with ``targets`` slots at input-image resolution."""
         feats = self._features(images)
         fpn_list = [feats[f"p{i}"] for i in range(2, 7)]
         proposals, _, anchors, rpn_logits, rpn_deltas = self.rpn(fpn_list, image_sizes, train)
@@ -272,6 +274,32 @@ class GeneralizedRCNN(nn.Module):
         )[:, :, 0]
         diff = jnp.abs(pred_deltas - gt_deltas)
         losses["loss_box_reg"] = jnp.sum(diff.sum(-1) * sel_fg) / jnp.maximum(jnp.sum(sel_fg), 1.0)
+
+        if self.mask_on:
+            assert gt_masks is not None, "mask_on=True requires gt_masks"
+            # Crop each fg ROI's matched GT bitmask to the mask-head output size
+            # (reference mask_head.py:30 mask_rcnn_loss crop_and_resize): treat
+            # the [B*K, H, W, 1] mask stack as a feature batch and roi_align with
+            # batch index b*K + matched_gt_idx, so every ROI pools exactly its
+            # matched instance.
+            k = gt_masks.shape[1]
+            rb = sel_rois.shape[1]
+            m_size = head_out["mask_logits"].shape[2]          # 2 * pooler_size
+            mask_bank = gt_masks.reshape(-1, *gt_masks.shape[2:])[..., None]  # [B*K,H,W,1]
+            flat_idx = (jnp.arange(b)[:, None] * k + sel_gt_idx).reshape(-1, 1)
+            flat_mask_rois = jnp.concatenate(
+                [flat_idx.astype(jnp.float32), sel_rois.reshape(-1, 4)], 1
+            )
+            gt_crop = roi_align(mask_bank, flat_mask_rois, (m_size, m_size),
+                                spatial_scale=1.0, sampling_ratio=2)[..., 0]
+            gt_crop = (gt_crop.reshape(b, rb, m_size, m_size) > 0.5).astype(jnp.float32)
+            # per-ROI logits of the GT class channel
+            cls_ch = jnp.clip(gt_cls, 0, self.num_classes - 1)
+            m_logits = jnp.take_along_axis(
+                head_out["mask_logits"], cls_ch[:, :, None, None, None], axis=-1
+            )[..., 0]                                           # [B, Rb, m, m]
+            per_roi = sigmoid_bce_with_logits(m_logits, gt_crop).mean((-2, -1))
+            losses["loss_mask"] = jnp.sum(per_roi * sel_fg) / jnp.maximum(jnp.sum(sel_fg), 1.0)
         return losses
 
     def inference(self, images: Array, image_sizes: Array) -> Dict[str, Array]:
@@ -292,9 +320,21 @@ class GeneralizedRCNN(nn.Module):
             keep = batched_nms_mask(boxes, best, cls, self.test_nms_thresh, valid=valid)
             sc = jnp.where(keep, best, -1.0)
             outv, outi = jax.lax.top_k(sc, self.max_detections)
-            return boxes[outi], outv, cls[outi], outv > 0
+            return boxes[outi], outv, cls[outi], outv > 0, outi
 
-        boxes, scores, classes, valid = jax.vmap(per_image)(
+        boxes, scores, classes, valid, det_idx = jax.vmap(per_image)(
             proposals, probs, box_deltas, image_sizes
         )
-        return {"boxes": boxes, "scores": scores, "classes": classes, "valid": valid}
+        out = {"boxes": boxes, "scores": scores, "classes": classes, "valid": valid}
+        if self.mask_on:
+            # gather mask logits of the kept detections, predicted-class channel
+            ml = head_out["mask_logits"]                      # [B, R, m, m, C]
+            det_ml = jnp.take_along_axis(
+                ml, det_idx[:, :, None, None, None], axis=1
+            )
+            det_ml = jnp.take_along_axis(
+                det_ml, jnp.clip(classes, 0, self.num_classes - 1)[:, :, None, None, None],
+                axis=-1,
+            )[..., 0]
+            out["mask_probs"] = jax.nn.sigmoid(det_ml)        # [B, D, m, m]
+        return out
