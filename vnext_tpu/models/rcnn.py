@@ -224,6 +224,13 @@ class GeneralizedRCNN(nn.Module):
         """gt_masks (optional, required when ``mask_on``): [B, K, H, W] float
         bitmasks aligned with ``targets`` slots at input-image resolution."""
         feats = self._features(images)
+        return self.losses_on_features(feats, image_sizes, targets, train, rng_key, gt_masks)
+
+    def losses_on_features(self, feats: Dict[str, Array], image_sizes: Array,
+                           targets: DetTargets, train: bool = True, rng_key=None,
+                           gt_masks: Array = None) -> Dict[str, Array]:
+        """Training losses given precomputed FPN features (lets PanopticFPN share
+        one backbone pass between the instance and semantic branches)."""
         fpn_list = [feats[f"p{i}"] for i in range(2, 7)]
         proposals, _, anchors, rpn_logits, rpn_deltas = self.rpn(fpn_list, image_sizes, train)
         losses = RPN.losses(rpn_logits, rpn_deltas, anchors, targets,
@@ -304,6 +311,9 @@ class GeneralizedRCNN(nn.Module):
 
     def inference(self, images: Array, image_sizes: Array) -> Dict[str, Array]:
         feats = self._features(images)
+        return self.inference_on_features(feats, image_sizes)
+
+    def inference_on_features(self, feats: Dict[str, Array], image_sizes: Array) -> Dict[str, Array]:
         fpn_list = [feats[f"p{i}"] for i in range(2, 7)]
         proposals, _, _, _, _ = self.rpn(fpn_list, image_sizes, train=False)
         head_out = self.roi_heads(feats, proposals)
@@ -337,4 +347,80 @@ class GeneralizedRCNN(nn.Module):
                 axis=-1,
             )[..., 0]
             out["mask_probs"] = jax.nn.sigmoid(det_ml)        # [B, D, m, m]
+        return out
+
+
+class ProposalNetwork(nn.Module):
+    """Backbone + RPN only (reference meta_arch/rcnn.py:247 ProposalNetwork):
+    trains/evaluates region proposals without ROI heads."""
+
+    backbone_depth: int = 50
+    fpn_channels: int = 256
+    proposals_per_image: int = 512
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.backbone = ResNet(depth=self.backbone_depth,
+                               out_features=("res2", "res3", "res4", "res5"),
+                               dtype=self.dtype, name="backbone")
+        self.fpn = FPN(in_features=("res2", "res3", "res4", "res5"),
+                       out_channels=self.fpn_channels, top_block="maxpool",
+                       dtype=self.dtype, name="fpn")
+        self.rpn = RPN(in_channels=self.fpn_channels,
+                       post_nms_topk=self.proposals_per_image,
+                       strides=(4, 8, 16, 32, 64), dtype=self.dtype, name="rpn")
+
+    def __call__(self, images: Array, image_sizes: Array, targets: DetTargets = None,
+                 train: bool = True, rng_key=None):
+        feats = self.fpn(self.backbone(images))
+        fpn_list = [feats[f"p{i}"] for i in range(2, 7)]
+        proposals, logits, anchors, rpn_logits, rpn_deltas = self.rpn(
+            fpn_list, image_sizes, train
+        )
+        if train:
+            return RPN.losses(rpn_logits, rpn_deltas, anchors, targets,
+                              rng=rng_key if rng_key is not None else jax.random.PRNGKey(0))
+        return {"proposal_boxes": proposals, "objectness_logits": logits}
+
+
+class PanopticFPN(GeneralizedRCNN):
+    """Instance branch (Mask R-CNN) + semantic branch over one shared FPN
+    (reference meta_arch/panoptic_fpn.py:21). Inference returns detections,
+    per-detection mask probs, and the sem-seg argmax; host-side fusion is
+    ``semantic_seg.combine_semantic_and_instance_outputs``."""
+
+    sem_seg_classes: int = 54
+    sem_seg_ignore_value: int = 255
+    sem_seg_loss_weight: float = 0.5
+
+    def setup(self):
+        super().setup()
+        from .semantic_seg import SemSegFPNHead
+
+        self.sem_seg_head = SemSegFPNHead(num_classes=self.sem_seg_classes,
+                                          dtype=self.dtype, name="sem_seg_head")
+
+    def __call__(self, images: Array, image_sizes: Array, targets: DetTargets,
+                 sem_seg_gt: Array = None, train: bool = True, rng_key=None,
+                 gt_masks: Array = None) -> Dict[str, Array]:
+        """sem_seg_gt: [B, H/4, W/4] int labels (ignore_value = void)."""
+        feats = self._features(images)
+        losses = self.losses_on_features(feats, image_sizes, targets, train,
+                                         rng_key, gt_masks)
+        sem_logits = self.sem_seg_head(feats)
+        if sem_seg_gt is not None:
+            valid = sem_seg_gt != self.sem_seg_ignore_value
+            gt = jnp.where(valid, sem_seg_gt, 0)
+            logp = jax.nn.log_softmax(sem_logits, -1)
+            ce = -jnp.take_along_axis(logp, gt[..., None], -1)[..., 0]
+            losses["loss_sem_seg"] = (
+                self.sem_seg_loss_weight
+                * jnp.sum(ce * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+            )
+        return losses
+
+    def inference(self, images: Array, image_sizes: Array) -> Dict[str, Array]:
+        feats = self._features(images)
+        out = self.inference_on_features(feats, image_sizes)
+        out["sem_seg"] = jnp.argmax(self.sem_seg_head(feats), axis=-1)  # [B, H/4, W/4]
         return out
