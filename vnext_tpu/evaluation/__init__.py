@@ -1,4 +1,10 @@
+from .coco_eval import COCOEvaluator
+from .evaluator import DatasetEvaluators, inference_on_dataset
+from .lvis_eval import LVISEvaluator
+from .panoptic_eval import COCOPanopticEvaluator, pq_single_image
+from .pascal_voc_eval import PascalVOCDetectionEvaluator, voc_ap
 from .rle import rle_area, rle_decode, rle_encode, rle_iou
+from .sem_seg_eval import SemSegEvaluator
 from .ytvis_eval import DatasetEvaluator, YTVISEvaluator, build_evaluator
 from .ytvos_eval import YTVOSeval, tube_iou
 
@@ -8,6 +14,15 @@ __all__ = [
     "rle_encode",
     "rle_iou",
     "DatasetEvaluator",
+    "DatasetEvaluators",
+    "inference_on_dataset",
+    "COCOEvaluator",
+    "LVISEvaluator",
+    "COCOPanopticEvaluator",
+    "pq_single_image",
+    "PascalVOCDetectionEvaluator",
+    "voc_ap",
+    "SemSegEvaluator",
     "YTVISEvaluator",
     "build_evaluator",
     "YTVOSeval",

@@ -93,6 +93,9 @@ class COCOEvaluator(DatasetEvaluator):
             return {}
         with open(json_file) as f:
             gt = json.load(f)
+        return self._evaluate_predictions(gt, predictions)
+
+    def _evaluate_predictions(self, gt: dict, predictions: List[dict]):
         sizes = {im["id"]: (im["height"], im["width"]) for im in gt["images"]}
 
         # adapt: every image becomes a 1-frame video
