@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Any, Dict, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..layers import FrozenBatchNorm
@@ -33,33 +34,68 @@ _DEPTH_TO_BLOCKS = {
 
 
 class Bottleneck(nn.Module):
-    """1x1 -> 3x3(stride) -> 1x1 with residual; frozen BN."""
+    """1x1 -> 3x3(stride) -> 1x1 with residual; frozen BN.
+
+    Options mirror detectron2/modeling/backbone/resnet.py: ``groups`` gives the
+    ResNeXt grouped 3x3 (resnet.py:100 BottleneckBlock num_groups),
+    ``stride_in_1x1`` moves the stride onto conv1 (MSRA layout), and ``deform``
+    swaps the 3x3 for a DCN v1/v2 tap (resnet.py:213 DeformBottleneckBlock).
+    """
 
     mid_channels: int
     out_channels: int
     stride: int = 1
     dilation: int = 1
+    groups: int = 1
+    stride_in_1x1: bool = False
+    deform: bool = False
+    deform_modulated: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         identity = x
         conv_kwargs = dict(use_bias=False, dtype=self.dtype)
+        stride_1x1 = self.stride if self.stride_in_1x1 else 1
+        stride_3x3 = 1 if self.stride_in_1x1 else self.stride
 
-        out = nn.Conv(self.mid_channels, (1, 1), name="conv1", **conv_kwargs)(x)
+        out = nn.Conv(self.mid_channels, (1, 1), strides=(stride_1x1, stride_1x1),
+                      name="conv1", **conv_kwargs)(x)
         out = FrozenBatchNorm(self.mid_channels, dtype=self.dtype, name="bn1")(out)
         out = nn.relu(out)
 
         d = self.dilation
-        out = nn.Conv(
-            self.mid_channels,
-            (3, 3),
-            strides=(self.stride, self.stride),
-            padding=[(d, d), (d, d)],
-            kernel_dilation=(d, d),
-            name="conv2",
-            **conv_kwargs,
-        )(out)
+        if self.deform:
+            from ...ops.deform_conv import deform_conv2d
+
+            n_off = 27 if self.deform_modulated else 18
+            off = nn.Conv(
+                n_off, (3, 3), strides=(stride_3x3, stride_3x3),
+                padding=[(d, d), (d, d)], kernel_dilation=(d, d),
+                kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+                dtype=self.dtype, name="conv2_offset",
+            )(out)
+            modulation = None
+            if self.deform_modulated:
+                off, mask = off[..., :18], off[..., 18:]
+                modulation = jax.nn.sigmoid(mask)
+            weight = self.param(
+                "conv2_weight", nn.initializers.he_normal(),
+                (3, 3, self.mid_channels, self.mid_channels), self.dtype,
+            )
+            out = deform_conv2d(out, off, weight, stride=stride_3x3, padding=d,
+                                dilation=d, modulation=modulation).astype(out.dtype)
+        else:
+            out = nn.Conv(
+                self.mid_channels,
+                (3, 3),
+                strides=(stride_3x3, stride_3x3),
+                padding=[(d, d), (d, d)],
+                kernel_dilation=(d, d),
+                feature_group_count=self.groups,
+                name="conv2",
+                **conv_kwargs,
+            )(out)
         out = FrozenBatchNorm(self.mid_channels, dtype=self.dtype, name="bn2")(out)
         out = nn.relu(out)
 
@@ -85,6 +121,11 @@ class ResNet(nn.Module):
     depth: int = 50
     out_features: Sequence[str] = ("res3", "res4", "res5")
     res5_dilation: int = 1
+    groups: int = 1                 # ResNeXt cardinality
+    width_per_group: int = 64       # ResNeXt bottleneck width
+    stride_in_1x1: bool = False
+    deform_on_per_stage: Sequence[bool] = (False, False, False, False)
+    deform_modulated: bool = False
     dtype: Dtype = jnp.float32
 
     @property
@@ -113,7 +154,8 @@ class ResNet(nn.Module):
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
         outputs = {}
-        mid = 64
+        # torchvision/ResNeXt bottleneck width: planes * width_per_group/64 * groups
+        mid = (64 * self.width_per_group // 64) * self.groups
         out_ch = 256
         for stage_idx, num_blocks in enumerate(blocks):
             stage_name = f"res{stage_idx + 2}"
@@ -128,6 +170,10 @@ class ResNet(nn.Module):
                     out_channels=out_ch,
                     stride=first_stride if b == 0 else 1,
                     dilation=dilation,
+                    groups=self.groups,
+                    stride_in_1x1=self.stride_in_1x1,
+                    deform=self.deform_on_per_stage[stage_idx],
+                    deform_modulated=self.deform_modulated,
                     dtype=self.dtype,
                     name=f"layer{stage_idx + 1}_{b}",
                 )(x)
