@@ -86,6 +86,7 @@ _C.SOLVER.WARMUP_FACTOR = 1.0 / 1000
 _C.SOLVER.WARMUP_ITERS = 1000
 _C.SOLVER.WARMUP_METHOD = "linear"
 _C.SOLVER.CHECKPOINT_PERIOD = 5000
+_C.SOLVER.REFERENCE_WORLD_SIZE = 0
 _C.SOLVER.OPTIMIZER = "ADAMW"
 _C.SOLVER.BACKBONE_MULTIPLIER = 0.1
 _C.SOLVER.CLIP_GRADIENTS = CN()

@@ -107,6 +107,29 @@ class InferenceSampler:
         return len(self._indices)
 
 
+class AspectRatioGroupedDataset:
+    """Two-bucket (portrait/landscape) batch grouping (reference:
+    data/common.py:207 AspectRatioGroupedDataset): consecutive samples of the
+    same orientation are batched together so per-batch padding is minimal.
+
+    Wraps an iterator of mapper outputs carrying "height"/"width" (or a
+    ``key_fn``); yields lists of ``batch_size`` same-bucket samples."""
+
+    def __init__(self, it: Iterator, batch_size: int, key_fn=None):
+        self._it = it
+        self._batch_size = batch_size
+        self._key_fn = key_fn or (lambda s: int(s["width"] > s["height"]))
+
+    def __iter__(self):
+        buckets: List[List] = [[], []]
+        for sample in self._it:
+            b = buckets[self._key_fn(sample)]
+            b.append(sample)
+            if len(b) == self._batch_size:
+                yield b[:]
+                b.clear()
+
+
 def _stack_clip_batch(samples: List[Dict[str, Any]]) -> Dict[str, np.ndarray]:
     """Collate mapper outputs into batched fixed-shape arrays."""
     def stack(path_fn):

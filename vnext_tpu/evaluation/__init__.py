@@ -1,9 +1,11 @@
+from .cityscapes_eval import CityscapesInstanceEvaluator, CityscapesSemSegEvaluator
 from .coco_eval import COCOEvaluator
 from .evaluator import DatasetEvaluators, inference_on_dataset
 from .lvis_eval import LVISEvaluator
 from .panoptic_eval import COCOPanopticEvaluator, pq_single_image
 from .pascal_voc_eval import PascalVOCDetectionEvaluator, voc_ap
 from .rle import rle_area, rle_decode, rle_encode, rle_iou
+from .rotated_coco_eval import RotatedCOCOEvaluator
 from .sem_seg_eval import SemSegEvaluator
 from .ytvis_eval import DatasetEvaluator, YTVISEvaluator, build_evaluator
 from .ytvos_eval import YTVOSeval, tube_iou
@@ -17,6 +19,9 @@ __all__ = [
     "DatasetEvaluators",
     "inference_on_dataset",
     "COCOEvaluator",
+    "RotatedCOCOEvaluator",
+    "CityscapesInstanceEvaluator",
+    "CityscapesSemSegEvaluator",
     "LVISEvaluator",
     "COCOPanopticEvaluator",
     "pq_single_image",

@@ -130,3 +130,35 @@ class MultiHeadAttention(nn.Module):
         out = jnp.einsum("...hqk,...khd->...qhd", attn, vp)
         out = out.reshape(*out.shape[:-2], d_model)
         return nn.Dense(d_model, dtype=self.dtype, name="out_proj")(out)
+
+
+class SyncBatchNorm(nn.Module):
+    """Cross-replica batch normalization.
+
+    Capability parity with detectron2/layers/batch_norm.py NaiveSyncBatchNorm,
+    which all-reduces per-GPU mean/mean-square before normalizing. TPU-native
+    form: batch statistics are synchronized over the named mesh axis with
+    ``lax.pmean`` (via flax's ``axis_name`` hook), so under ``pmap``/``shard_map``
+    every replica normalizes with the GLOBAL batch statistics — the XLA
+    collective replaces the reference's dist.all_reduce.
+
+    Outside any mapped axis (``axis_name=None`` or plain jit) it degrades to
+    ordinary BatchNorm, matching the reference's world_size==1 early-exit.
+    """
+
+    features: int
+    axis_name: str | None = None
+    momentum: float = 0.9
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, use_running_average: bool = False) -> Array:
+        return nn.BatchNorm(
+            use_running_average=use_running_average,
+            momentum=self.momentum,
+            epsilon=self.eps,
+            axis_name=None if use_running_average else self.axis_name,
+            dtype=self.dtype,
+            name="bn",
+        )(x)
