@@ -144,3 +144,89 @@ def test_cityscapes_instance_evaluator():
     }])
     res = ev.evaluate()["segm"]
     assert res["AP"] > 0.99  # 0-1 scale in YTVOSeval stats
+
+
+def test_diou_ciou_losses_vs_numpy_reference():
+    from vnext_tpu.ops.losses import ciou_loss, diou_loss
+
+    rng = np.random.RandomState(0)
+    a = rng.uniform(0, 50, (16, 2))
+    b1 = np.concatenate([a, a + rng.uniform(5, 40, (16, 2))], 1).astype(np.float64)
+    a2 = rng.uniform(0, 50, (16, 2))
+    b2 = np.concatenate([a2, a2 + rng.uniform(5, 40, (16, 2))], 1).astype(np.float64)
+
+    def np_diou_ciou(p, g):
+        inter = (np.clip(np.minimum(p[:, 2], g[:, 2]) - np.maximum(p[:, 0], g[:, 0]), 0, None)
+                 * np.clip(np.minimum(p[:, 3], g[:, 3]) - np.maximum(p[:, 1], g[:, 1]), 0, None))
+        area_p = (p[:, 2] - p[:, 0]) * (p[:, 3] - p[:, 1])
+        area_g = (g[:, 2] - g[:, 0]) * (g[:, 3] - g[:, 1])
+        iou = inter / (area_p + area_g - inter)
+        cw = np.maximum(p[:, 2], g[:, 2]) - np.minimum(p[:, 0], g[:, 0])
+        ch = np.maximum(p[:, 3], g[:, 3]) - np.minimum(p[:, 1], g[:, 1])
+        c2 = cw**2 + ch**2
+        d2 = (((p[:, 0] + p[:, 2]) - (g[:, 0] + g[:, 2])) ** 2
+              + ((p[:, 1] + p[:, 3]) - (g[:, 1] + g[:, 3])) ** 2) / 4.0
+        diou = 1 - iou + d2 / c2
+        wp, hp = p[:, 2] - p[:, 0], p[:, 3] - p[:, 1]
+        wg, hg = g[:, 2] - g[:, 0], g[:, 3] - g[:, 1]
+        v = (4 / np.pi**2) * (np.arctan(wg / hg) - np.arctan(wp / hp)) ** 2
+        alpha = v / (1 - iou + v)
+        return diou, diou + alpha * v
+
+    ref_d, ref_c = np_diou_ciou(b1, b2)
+    ours_d = np.asarray(diou_loss(jnp.asarray(b1), jnp.asarray(b2)))
+    ours_c = np.asarray(ciou_loss(jnp.asarray(b1), jnp.asarray(b2)))
+    np.testing.assert_allclose(ours_d, ref_d, atol=1e-4)
+    np.testing.assert_allclose(ours_c, ref_c, atol=1e-4)
+    # identical boxes -> zero loss
+    assert float(diou_loss(jnp.asarray(b1), jnp.asarray(b1)).max()) < 1e-6
+    assert float(ciou_loss(jnp.asarray(b1), jnp.asarray(b1)).max()) < 1e-6
+
+
+def test_aspp_shapes():
+    from vnext_tpu.models.layers import ASPP
+
+    m = ASPP(out_channels=16)
+    x = jnp.zeros((1, 24, 24, 8))
+    params = jax.jit(lambda: m.init(jax.random.PRNGKey(0), x))()
+    out = jax.jit(lambda v: m.apply(v, x))(params)
+    assert out.shape == (1, 24, 24, 16)
+
+
+def test_update_bn_stats_exact():
+    import flax.linen as nn
+
+    from vnext_tpu.engine.hooks import update_bn_stats
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.BatchNorm(use_running_average=False, momentum=0.9)(x)
+
+    m = M()
+    x0 = np.random.RandomState(0).randn(8, 4).astype(np.float32)
+    variables = m.init(jax.random.PRNGKey(0), jnp.asarray(x0))
+
+    def apply_stats(v, batch):
+        _, updates = m.apply(v, batch, mutable=["batch_stats"])
+        return updates["batch_stats"]
+
+    batches = [jnp.asarray(np.random.RandomState(i).randn(8, 4).astype(np.float32) + i)
+               for i in range(3)]
+    new_stats = update_bn_stats(apply_stats, variables, batches)
+    expected_mean = np.mean([np.asarray(b).mean(0) for b in batches], axis=0)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(new_stats)[0]), expected_mean, atol=1e-5
+    )
+
+
+def test_register_all_builtin():
+    from vnext_tpu.data.catalog import DatasetCatalog
+    from vnext_tpu.data.datasets.builtin import register_all_builtin
+
+    register_all_builtin()
+    names = DatasetCatalog.list()
+    for expected in ("lvis_v1_train", "voc_2007_test",
+                     "cityscapes_fine_instance_seg_val", "coco_2017_val_panoptic"):
+        assert expected in names
+    register_all_builtin()  # idempotent

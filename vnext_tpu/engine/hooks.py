@@ -188,3 +188,66 @@ def _flatten(d, prefix=""):
                 yield key, float(v)
             except (TypeError, ValueError):
                 pass
+
+
+def update_bn_stats(apply_stats_fn: Callable, variables: dict, batches,
+                    momentum: float = 0.9) -> dict:
+    """PreciseBN statistics recomputation (reference: hooks.py:566 PreciseBN /
+    fvcore update_bn_stats): run N batches and replace every BatchNorm
+    mean/var with the TRUE average of the per-batch statistics.
+
+    ``apply_stats_fn(variables, batch) -> new_batch_stats`` must run the model
+    in training mode with ``mutable=["batch_stats"]`` and return the updated
+    collection. Since flax BatchNorm writes ``new = m*old + (1-m)*batch``, the
+    per-batch statistic is recovered as ``(new - m*old) / (1-m)`` and averaged
+    across batches — exact for any momentum, no model surgery needed.
+    """
+    import jax
+
+    old_stats = variables["batch_stats"]
+    sums = jax.tree_util.tree_map(lambda x: x * 0.0, old_stats)
+    n = 0
+    for batch in batches:
+        new_stats = apply_stats_fn(variables, batch)
+        per_batch = jax.tree_util.tree_map(
+            lambda new, old: (new - momentum * old) / (1.0 - momentum),
+            new_stats, old_stats,
+        )
+        sums = jax.tree_util.tree_map(lambda s, b: s + b, sums, per_batch)
+        n += 1
+    assert n > 0, "update_bn_stats needs at least one batch"
+    return jax.tree_util.tree_map(lambda s: s / n, sums)
+
+
+class PreciseBNHook(HookBase):
+    """Every ``period`` steps (and after training), swap the trainer state's
+    batch_stats for precisely re-estimated ones over ``num_iters`` loader
+    batches."""
+
+    def __init__(self, apply_stats_fn: Callable, data_loader, num_iters: int = 200,
+                 period: int = 0, momentum: float = 0.9):
+        self._apply = apply_stats_fn
+        self._loader = data_loader
+        self._num_iters = num_iters
+        self._period = period
+        self._momentum = momentum
+
+    def _recompute(self):
+        import itertools
+
+        state = self.trainer.state
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        new_stats = update_bn_stats(
+            self._apply, variables, itertools.islice(iter(self._loader), self._num_iters),
+            momentum=self._momentum,
+        )
+        self.trainer.state = state.replace(batch_stats=new_stats)
+        logger.info("PreciseBN: refreshed batch statistics over %d batches", self._num_iters)
+
+    def after_step(self):
+        if self._period and (self.trainer.iter + 1) % self._period == 0:
+            self._recompute()
+
+    def after_train(self):
+        if getattr(self.trainer.state, "batch_stats", None) is not None:
+            self._recompute()

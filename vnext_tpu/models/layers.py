@@ -162,3 +162,30 @@ class SyncBatchNorm(nn.Module):
             dtype=self.dtype,
             name="bn",
         )(x)
+
+
+class ASPP(nn.Module):
+    """Atrous spatial pyramid pooling (capability parity with
+    detectron2/layers/aspp.py:14 ASPP): 1x1 + three dilated 3x3 branches + a
+    global-pool branch, concatenated and projected."""
+
+    out_channels: int
+    dilations: tuple = (6, 12, 18)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        c = self.out_channels
+        branches = [nn.relu(nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype,
+                                    name="conv1x1")(x))]
+        for i, d in enumerate(self.dilations):
+            branches.append(nn.relu(nn.Conv(
+                c, (3, 3), padding=[(d, d), (d, d)], kernel_dilation=(d, d),
+                use_bias=False, dtype=self.dtype, name=f"conv3x3_d{i}")(x)))
+        pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
+        pooled = nn.relu(nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype,
+                                 name="pool_conv")(pooled))
+        branches.append(jnp.broadcast_to(pooled, (*x.shape[:3], c)))
+        out = jnp.concatenate(branches, axis=-1)
+        return nn.relu(nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype,
+                               name="project")(out))
