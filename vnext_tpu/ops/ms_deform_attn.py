@@ -113,10 +113,10 @@ def ms_deform_attn_factorized_xla(
     loc_bm = jnp.moveaxis(sampling_locations, 2, 1).reshape(B * M, Q, L, P, 2)
     w_bm = jnp.moveaxis(attention_weights, 2, 1).reshape(B * M, Q, L, P)
 
-    # NOTE(perf, round 2): clamping chunk to ~Q for small query counts (the
-    # 300-query decoder) avoids ~3x padded work, but changes the HLO and thus
-    # invalidates the persistent compile cache; deferred until kernel compiles
-    # are cheap in this environment.
+    # Clamp the chunk for small query counts (the 300-query decoder): without
+    # this, Q=300 is padded to a full 1024-query chunk, ~3.4x wasted MSDA work
+    # on every decoder layer. Sublane-align to 8.
+    chunk = min(chunk, -(-Q // 8) * 8)
     n_chunks = -(-Q // chunk)
     q_pad = n_chunks * chunk
     if q_pad != Q:
