@@ -230,3 +230,22 @@ def test_register_all_builtin():
                      "cityscapes_fine_instance_seg_val", "coco_2017_val_panoptic"):
         assert expected in names
     register_all_builtin()  # idempotent
+
+
+def test_config_compat_upgrade_downgrade():
+    from vnext_tpu.config.cfgnode import CfgNode
+    from vnext_tpu.config.compat import downgrade_config, upgrade_config
+
+    old = CfgNode()
+    old.VERSION = 1
+    old.MODEL = CfgNode()
+    old.MODEL.TPU_MESH_SHAPE = (8,)
+    old.MODEL.WEIGHTS = "x.pth"
+    new = upgrade_config(old)
+    assert new.VERSION == 2
+    assert new.TPU.MESH_SHAPE == (8,)
+    assert "TPU_MESH_SHAPE" not in new.MODEL
+    assert new.MODEL.WEIGHTS == "x.pth"
+
+    back = downgrade_config(new, 1)
+    assert back.VERSION == 1 and back.MODEL.TPU_MESH_SHAPE == (8,)
