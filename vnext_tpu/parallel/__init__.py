@@ -10,6 +10,13 @@ from .mesh import (
     replicated,
     shard_batch,
 )
+from .tensor_parallel import (
+    apply_tp,
+    infer_tp_specs,
+    make_sharded_clip_inference,
+    shard_clip,
+    time_sharding,
+)
 
 __all__ = [
     "batch_sharding",
@@ -22,4 +29,9 @@ __all__ = [
     "replicate",
     "replicated",
     "shard_batch",
+    "apply_tp",
+    "infer_tp_specs",
+    "make_sharded_clip_inference",
+    "shard_clip",
+    "time_sharding",
 ]
