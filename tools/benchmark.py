@@ -16,10 +16,19 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def _setup_cache():
+    import jax
+
+    os.makedirs("/tmp/jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+
 def benchmark_train(cfg, iters=10):
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    _setup_cache()
 
     from vnext_tpu.engine.train_step import TrainState, make_train_step
     from vnext_tpu.models.criterion import Targets, default_weight_dict
@@ -43,12 +52,15 @@ def benchmark_train(cfg, iters=10):
         valid=jnp.asarray(np.tile(np.arange(k) < 5, (b, 1))),
         inst_id=jnp.zeros((b, k), jnp.int32),
     )
-    params = model.init(
-        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-        images[:1], sizes[:1], images[:1], sizes[:1],
-        jax.tree_util.tree_map(lambda x: x[:1], targets),
-        jax.tree_util.tree_map(lambda x: x[:1], targets), train=False,
-    )["params"]
+    # jitted init: eager per-op dispatch is pathological on remote-TPU backends
+    params = jax.jit(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            images[:1], sizes[:1], images[:1], sizes[:1],
+            jax.tree_util.tree_map(lambda x: x[:1], targets),
+            jax.tree_util.tree_map(lambda x: x[:1], targets), train=False,
+        )["params"]
+    )()
     tx = build_optimizer(cfg, params)
     step = make_train_step(model, tx, default_weight_dict(dec_layers=cfg.MODEL.IDOL.DEC_LAYERS),
                            donate=False)
@@ -71,15 +83,18 @@ def benchmark_eval(cfg, iters=10):
 
     from vnext_tpu.models.idol import IDOL, build_idol_model
 
+    _setup_cache()
     model = build_idol_model(cfg)
     h, w = cfg.TPU.TEST_IMAGE_SIZE
     t = cfg.MODEL.IDOL.BATCH_INFER_LEN
     rng = np.random.RandomState(0)
     frames = jnp.asarray(rng.randn(t, h, w, 3), jnp.float32)
     sizes = jnp.asarray([[h, w]] * t, jnp.int32)
-    params = model.init(
-        {"params": jax.random.PRNGKey(0)}, frames[:1], sizes[:1], method=IDOL.inference
-    )["params"]
+    params = jax.jit(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0)}, frames[:1], sizes[:1], method=IDOL.inference
+        )["params"]
+    )()
     infer = jax.jit(lambda p, f, s: model.apply({"params": p}, f, s, method=IDOL.inference))
     out = infer(params, frames, sizes)
     float(jnp.sum(out["pred_logits"]))

@@ -8,6 +8,7 @@
 
 #include <stdint.h>
 #include <stddef.h>
+#include <stdlib.h>
 
 /* Merge two column-major RLE count sequences, accumulating intersection and
  * union pixel counts. Counts alternate runs of 0s and 1s starting with 0s. */
@@ -89,4 +90,48 @@ void tube_iou_matrix(
             iou_out[d * G + g] = denom > 0.0 ? inter / denom : 0.0;
         }
     }
+}
+
+/* Greedy COCO-style detection->GT matching at T IoU thresholds.
+ *
+ * The analogue of the reference's cocoeval.cpp COCOevalEvaluateImages inner
+ * loop (csrc/cocoeval/cocoeval.cpp MatchDetectionsToGt): detections arrive
+ * sorted by descending score; each takes the best still-unclaimed GT above
+ * the threshold, preferring non-ignored GT, with the crowd/ignore fallback.
+ *
+ * iou:        [D*G] row-major
+ * gt_ignore:  [G] 0/1
+ * thrs:       [T]
+ * matched:    out [T*D] 0/1 (matched a non-ignored GT)
+ * ignored:    out [T*D] 0/1 (matched an ignored GT -> drop from PR)
+ */
+void match_greedy(
+    const double* iou, int64_t D, int64_t G,
+    const uint8_t* gt_ignore,
+    const double* thrs, int64_t T,
+    uint8_t* matched, uint8_t* ignored)
+{
+    unsigned char* gt_matched = (unsigned char*)malloc((size_t)(G > 0 ? G : 1));
+    for (int64_t ti = 0; ti < T; ++ti) {
+        for (int64_t g = 0; g < G; ++g) gt_matched[g] = 0;
+        double thr = thrs[ti];
+        double eps_cap = 1.0 - 1e-10;
+        for (int64_t d = 0; d < D; ++d) {
+            double best_iou = thr < eps_cap ? thr : eps_cap;
+            int64_t best_gi = -1;
+            for (int64_t g = 0; g < G; ++g) {
+                if (gt_matched[g] && !gt_ignore[g]) continue;
+                if (best_gi > -1 && !gt_ignore[best_gi] && gt_ignore[g]) break;
+                if (iou[d * G + g] >= best_iou) {
+                    best_iou = iou[d * G + g];
+                    best_gi = g;
+                }
+            }
+            int m = best_gi > -1 && !gt_ignore[best_gi];
+            matched[ti * D + d] = (uint8_t)m;
+            ignored[ti * D + d] = (uint8_t)(best_gi > -1 && gt_ignore[best_gi]);
+            if (m) gt_matched[best_gi] = 1;
+        }
+    }
+    free(gt_matched);
 }

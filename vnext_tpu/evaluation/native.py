@@ -49,6 +49,12 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_double),
         ]
+        lib.match_greedy.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ]
         _LIB = lib
         logger.info("native rle_ops loaded from %s", so)
     except Exception as e:  # pragma: no cover - depends on toolchain
@@ -130,3 +136,30 @@ def tube_iou_matrix_native(
             D, G, T, _ptr(out.reshape(-1), ctypes.c_double),
         )
     return out
+
+
+def match_greedy_native(
+    iou: np.ndarray, gt_ignore: Sequence[bool], thrs: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Greedy matching at every threshold: (matched [T, D], ignored [T, D]).
+
+    The reference's cocoeval.cpp MatchDetectionsToGt inner loop; detections must
+    be score-sorted rows of ``iou``.
+    """
+    lib = _build_and_load()
+    assert lib is not None
+    iou = np.ascontiguousarray(iou, dtype=np.float64)
+    d, g = iou.shape
+    ign = np.ascontiguousarray(gt_ignore, dtype=np.uint8)
+    th = np.ascontiguousarray(thrs, dtype=np.float64)
+    t = len(th)
+    matched = np.zeros((t, d), np.uint8)
+    ignored = np.zeros((t, d), np.uint8)
+    lib.match_greedy(
+        _ptr(iou.reshape(-1), ctypes.c_double), d, g,
+        _ptr(ign, ctypes.c_uint8),
+        _ptr(th, ctypes.c_double), t,
+        _ptr(matched.reshape(-1), ctypes.c_uint8),
+        _ptr(ignored.reshape(-1), ctypes.c_uint8),
+    )
+    return matched.astype(bool), ignored.astype(bool)

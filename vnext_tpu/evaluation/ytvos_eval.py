@@ -126,6 +126,38 @@ def _tube_iou_matrix(dt_anns, gt_anns) -> np.ndarray:
     return iou
 
 
+def _match_greedy(iou: np.ndarray, gt_ignore: np.ndarray, thrs: np.ndarray):
+    """Greedy score-ordered matching at each threshold -> (matched, ignored)
+    [T, D] bool. Dispatches to the C kernel (native.match_greedy_native, the
+    cocoeval.cpp MatchDetectionsToGt analogue) with this python fallback."""
+    from . import native
+
+    d, g = iou.shape
+    if native.available():
+        return native.match_greedy_native(iou, gt_ignore, thrs)
+    matched = np.zeros((len(thrs), d), bool)
+    ignored = np.zeros((len(thrs), d), bool)
+    for ti, thr in enumerate(thrs):
+        gt_matched = np.zeros(g, bool)
+        for di in range(d):
+            best_iou = min(thr, 1 - 1e-10)
+            best_gi = -1
+            for gi in range(g):
+                if gt_matched[gi] and not gt_ignore[gi]:
+                    continue
+                if best_gi > -1 and not gt_ignore[best_gi] and gt_ignore[gi]:
+                    break  # prefer non-ignored matches (COCO rule)
+                if iou[di, gi] >= best_iou:
+                    best_iou = iou[di, gi]
+                    best_gi = gi
+            if best_gi > -1 and not gt_ignore[best_gi]:
+                matched[ti, di] = True
+                gt_matched[best_gi] = True
+            elif best_gi > -1:
+                ignored[ti, di] = True
+    return matched, ignored
+
+
 class YTVOSeval:
     """Greedy COCO-style evaluation over video tubes."""
 
@@ -190,26 +222,14 @@ class YTVOSeval:
                         if not dt_anns:
                             continue
                         iou = _tube_iou_matrix(dt_anns, gt_anns)
-                        for ti, thr in enumerate(self.iou_thrs):
-                            gt_matched = np.zeros(len(gt_anns), bool)
+                        matched_td, ignored_td = _match_greedy(
+                            iou, gt_ignore, self.iou_thrs
+                        )
+                        for ti in range(T):
                             for di, d in enumerate(dt_anns):
-                                best_iou = min(thr, 1 - 1e-10)
-                                best_gi = -1
-                                for gi in range(len(gt_anns)):
-                                    if gt_matched[gi] and not gt_ignore[gi]:
-                                        continue
-                                    if best_gi > -1 and not gt_ignore[best_gi] and gt_ignore[gi]:
-                                        break  # prefer non-ignored matches (COCO rule)
-                                    if iou[di, gi] >= best_iou:
-                                        best_iou = iou[di, gi]
-                                        best_gi = gi
-                                matched = best_gi > -1 and not gt_ignore[best_gi]
-                                ignored = best_gi > -1 and gt_ignore[best_gi]
-                                if best_gi > -1 and not gt_ignore[best_gi]:
-                                    gt_matched[best_gi] = True
                                 scores_all.append((d["score"], ti))
-                                matches_all.append(matched)
-                                ignored_det_all.append(ignored)
+                                matches_all.append(bool(matched_td[ti, di]))
+                                ignored_det_all.append(bool(ignored_td[ti, di]))
                     if n_gt_total == 0:
                         continue
                     # accumulate PR per threshold
