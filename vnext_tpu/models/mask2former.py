@@ -250,6 +250,9 @@ class MaskFormer(nn.Module):
     backbone_depth: int = 50
     no_object_weight: float = 0.1
     deep_supervision: bool = True
+    # >0 enables the reference's point-sampled mask losses (12544 points with
+    # uncertainty-importance sampling); 0 keeps the dense stride-4 losses
+    num_points: int = 0
     dtype: Any = jnp.float32
     msda_impl: str = "auto"
 
@@ -312,12 +315,26 @@ class MaskFormer(nn.Module):
         src_masks = jnp.take_along_axis(masks, q_idx[..., None, None], axis=1)  # [B,K,H,W]
         gt = targets.masks_s4.astype(jnp.float32)
         num = jnp.maximum(jnp.sum(valid), 1).astype(jnp.float32)
-        flat_src = src_masks.reshape(b * k, -1)
-        flat_gt = gt.reshape(b * k, -1)
         flat_valid = valid.reshape(-1)
-        bce = sigmoid_bce_with_logits(flat_src, flat_gt).mean(-1)
-        loss_mask = jnp.sum(bce * flat_valid) / num
-        loss_dice = dice_loss(flat_src, flat_gt, num, valid=flat_valid)
+        if self.num_points > 0:
+            # reference recipe: point-rend-style sampled BCE + dice
+            # (criterion.py loss_masks with uncertainty-weighted point coords)
+            from ..ops.point_sample import sampled_mask_losses
+
+            hw = src_masks.shape[-2:]
+            loss_mask, loss_dice = sampled_mask_losses(
+                src_masks.reshape(b * k, *hw),
+                gt.reshape(b * k, *hw),
+                flat_valid, num,
+                num_points=self.num_points,
+                rng=self.make_rng("dropout") if self.has_rng("dropout") else None,
+            )
+        else:
+            flat_src = src_masks.reshape(b * k, -1)
+            flat_gt = gt.reshape(b * k, -1)
+            bce = sigmoid_bce_with_logits(flat_src, flat_gt).mean(-1)
+            loss_mask = jnp.sum(bce * flat_valid) / num
+            loss_dice = dice_loss(flat_src, flat_gt, num, valid=flat_valid)
         return {"loss_ce": loss_ce, "loss_mask": loss_mask, "loss_dice": loss_dice}
 
     def inference(self, images: Array, image_sizes: Array) -> Dict[str, Array]:

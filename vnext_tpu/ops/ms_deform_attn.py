@@ -163,7 +163,12 @@ def ms_deform_attn_factorized_xla(
             samp = prod.sum(axis=2).astype(jnp.float32)              # [BM, chunk*P, D]
             return carry, samp.reshape(samp.shape[0], chunk, P, D).sum(axis=2)
 
-        _, chunks_out = jax.lax.scan(level_chunk, None, jnp.arange(n_chunks))
+        # remat: without this, autodiff saves every chunk's [BM, cP, H*D] z slab
+        # across the scan (~150 GB at encoder scale in the train step — measured
+        # OOM); recomputing z in the backward costs ~2x MSDA FLOPs and nothing
+        # in memory.
+        _, chunks_out = jax.lax.scan(jax.checkpoint(level_chunk), None,
+                                     jnp.arange(n_chunks))
         # chunks_out: [n_chunks, BM, chunk, D]
         out = out + jnp.moveaxis(chunks_out, 0, 1).reshape(B * M, q_pad, D)
 
