@@ -249,3 +249,43 @@ def test_config_compat_upgrade_downgrade():
 
     back = downgrade_config(new, 1)
     assert back.VERSION == 1 and back.MODEL.TPU_MESH_SHAPE == (8,)
+
+
+def test_detection_mapper():
+    import random
+
+    from vnext_tpu.data.detection_mapper import (
+        DetectionDatasetMapper,
+        stack_detection_batch,
+    )
+
+    rng0 = np.random.RandomState(0)
+    record = {
+        "image": rng0.randint(0, 255, (100, 150, 3), dtype=np.uint8),
+        "image_id": 7,
+        "height": 100,
+        "width": 150,
+        "annotations": [
+            {"category_id": 2, "bbox": [10, 20, 40, 30],
+             "segmentation": [[10, 20, 50, 20, 50, 50, 10, 50]]},
+            {"category_id": 1, "bbox": [0, 0, 5, 5], "iscrowd": 1},  # skipped
+        ],
+    }
+    mapper = DetectionDatasetMapper(
+        is_train=True, min_sizes=(64,), max_size=128, max_insts=8,
+        target_size=(96, 128), mask_on=True,
+    )
+    out = mapper(record, random.Random(3))
+    assert out["image"].shape == (96, 128, 3)
+    assert out["boxes"].shape == (8, 4) and out["valid"].sum() == 1
+    b = out["boxes"][0]
+    assert b[2] > b[0] and b[3] > b[1]
+    assert out["masks"].shape == (8, 96, 128)
+    # mask roughly covers the box interior
+    ys, xs = np.nonzero(out["masks"][0])
+    assert len(ys) > 0
+    assert xs.min() >= b[0] - 3 and xs.max() <= b[2] + 3
+
+    batch = stack_detection_batch([out, out])
+    assert batch["image"].shape == (2, 96, 128, 3)
+    assert batch["image_id"] == [7, 7]

@@ -136,10 +136,8 @@ def ms_deform_attn_factorized_xla(
 
         loc_l = loc_bm[:, :, lvl].reshape(B * M, n_chunks, chunk * P, 2)
         att_l = w_bm[:, :, lvl].reshape(B * M, n_chunks, chunk * P)
-        h_of_l = (jnp.arange(h * D) // D).astype(jnp.float32)
 
-        def level_chunk(carry, idx, v_t=v_t, loc_l=loc_l, att_l=att_l, h=h, w=w,
-                        h_of_l=h_of_l):
+        def level_chunk(carry, idx, v_t=v_t, loc_l=loc_l, att_l=att_l, h=h, w=w):
             loc_c = loc_l[:, idx].astype(jnp.float32)   # [BM, chunk*P, 2]
             att_c = att_l[:, idx].astype(jnp.float32)   # [BM, chunk*P]
             x = loc_c[..., 0] * w - 0.5
@@ -155,11 +153,16 @@ def ms_deform_attn_factorized_xla(
                 + jnp.where(iota_w[None, None] == x0[..., None] + 1.0, tx[..., None], 0.0)
             ) * att_c[..., None]
             z = jnp.einsum("bqw,bwx->bqx", rx.astype(cdtype), v_t)   # [BM, cP, H*D]
+            # row selector stays [BM, cP, H] and broadcasts over D in the
+            # consumer — materializing it at H*D (as z's twin) doubles the
+            # HBM traffic of this whole op (measured: 77 -> ~45 ms/layer at
+            # encoder scale after this change)
+            iota_h = jnp.arange(h, dtype=jnp.float32)
             ry = (
-                jnp.where(h_of_l[None, None] == y0[..., None], (1 - ty)[..., None], 0.0)
-                + jnp.where(h_of_l[None, None] == y0[..., None] + 1.0, ty[..., None], 0.0)
+                jnp.where(iota_h[None, None] == y0[..., None], (1 - ty)[..., None], 0.0)
+                + jnp.where(iota_h[None, None] == y0[..., None] + 1.0, ty[..., None], 0.0)
             ).astype(cdtype)
-            prod = (z * ry).reshape(z.shape[0], z.shape[1], h, D)
+            prod = z.reshape(z.shape[0], z.shape[1], h, D) * ry[..., None]
             samp = prod.sum(axis=2).astype(jnp.float32)              # [BM, chunk*P, D]
             return carry, samp.reshape(samp.shape[0], chunk, P, D).sum(axis=2)
 
