@@ -45,15 +45,31 @@ __all__ = [
     "sine_position_embedding",
 ]
 
+from .backbones.regnet import RegNet  # noqa: E402
+from .cascade_rcnn import CascadeROIHeads  # noqa: E402
 from .fcos import FCOS  # noqa: E402
 from .instmove import InstMovePredictor, motion_match_cost  # noqa: E402
 from .mask2former import MaskFormer, MaskTargets, minvis_postprocess  # noqa: E402
-from .rcnn import GeneralizedRCNN, StandardROIHeads, RPN  # noqa: E402
+from .rcnn import (  # noqa: E402
+    GeneralizedRCNN,
+    PanopticFPN,
+    ProposalNetwork,
+    RPN,
+    StandardROIHeads,
+)
 from .retinanet import DetTargets, RetinaNet  # noqa: E402
+from .roi_heads_extra import (  # noqa: E402
+    Box2BoxTransformRotated,
+    KRCNNConvDeconvUpsampleHead,
+    Res5ROIHeads,
+    RROIHeads,
+)
 from .semantic_seg import SemanticSegmentor, combine_semantic_and_instance_outputs  # noqa: E402
 from .tta import DetectorWithTTA  # noqa: E402
 
 __all__ += [
+    "RegNet",
+    "CascadeROIHeads",
     "FCOS",
     "InstMovePredictor",
     "motion_match_cost",
@@ -61,10 +77,16 @@ __all__ += [
     "MaskTargets",
     "minvis_postprocess",
     "GeneralizedRCNN",
+    "PanopticFPN",
+    "ProposalNetwork",
     "StandardROIHeads",
     "RPN",
     "DetTargets",
     "RetinaNet",
+    "Box2BoxTransformRotated",
+    "KRCNNConvDeconvUpsampleHead",
+    "Res5ROIHeads",
+    "RROIHeads",
     "SemanticSegmentor",
     "combine_semantic_and_instance_outputs",
     "DetectorWithTTA",
