@@ -289,3 +289,29 @@ def test_detection_mapper():
     batch = stack_detection_batch([out, out])
     assert batch["image"].shape == (2, 96, 128, 3)
     assert batch["image_id"] == [7, 7]
+
+
+def test_visualizer_keypoints_and_panoptic():
+    from vnext_tpu.utils.visualizer import Visualizer
+
+    img = np.zeros((40, 60, 3), np.uint8)
+    vis = Visualizer(img, class_names=["cat"])
+    kp = np.asarray([[[10, 10, 1.0], [30, 20, 1.0], [50, 30, 0.0]]])
+    out = vis.draw_keypoints(kp, connectivity=[(0, 1), (1, 2)])
+    assert out.shape == (40, 60, 3)
+    assert out[10, 10].sum() > 0       # dot drawn
+    assert out[30, 50].sum() == 0      # invisible kp untouched
+
+    pan = np.zeros((40, 60), np.int32)
+    pan[:20] = 1
+    pan[20:] = 2
+    out2 = Visualizer(img, class_names=["cat"]).draw_panoptic_seg(
+        pan,
+        [{"id": 1, "category_id": 0, "isthing": True},
+         {"id": 2, "category_id": 0, "isthing": False}],
+        stuff_names=["sky"],
+    )
+    assert out2.shape == (40, 60, 3)
+    # both halves got colored
+    assert out2[5, 5].sum() > 0 and out2[35, 5].sum() > 0
+    assert not np.array_equal(out2[5, 5], out2[35, 5])

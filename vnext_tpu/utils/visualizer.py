@@ -86,6 +86,60 @@ class Visualizer:
         self._img = out
         return np.asarray(out)
 
+    def draw_keypoints(
+        self,
+        keypoints: np.ndarray,                  # [N, K, 3] (x, y, vis/score)
+        connectivity: Optional[Sequence[Tuple[int, int]]] = None,
+        radius: int = 3,
+        vis_thresh: float = 0.05,
+    ) -> np.ndarray:
+        """Dots per visible keypoint + optional skeleton edges (reference
+        visualizer.py draw_and_connect_keypoints)."""
+        draw = ImageDraw.Draw(self._img)
+        kp = np.asarray(keypoints, np.float64)
+        for i in range(kp.shape[0]):
+            c = _color_for(i)
+            for k in range(kp.shape[1]):
+                x, y, v = kp[i, k]
+                if v <= vis_thresh:
+                    continue
+                draw.ellipse([x - radius, y - radius, x + radius, y + radius], fill=c)
+            if connectivity:
+                for a, b in connectivity:
+                    if kp[i, a, 2] > vis_thresh and kp[i, b, 2] > vis_thresh:
+                        draw.line([tuple(kp[i, a, :2]), tuple(kp[i, b, :2])],
+                                  fill=c, width=2)
+        return np.asarray(self._img)
+
+    def draw_panoptic_seg(
+        self,
+        panoptic: np.ndarray,                   # [H, W] segment ids (0 = void)
+        segments_info: Sequence[dict],
+        stuff_names: Optional[Sequence[str]] = None,
+    ) -> np.ndarray:
+        """Overlay every panoptic segment with a stable per-id color (reference
+        visualizer.py draw_panoptic_seg)."""
+        base = np.asarray(self._img, np.float32)
+        draw_labels = []
+        for seg in segments_info:
+            m = panoptic == seg["id"]
+            if not m.any():
+                continue
+            c = np.asarray(_color_for(seg["id"]), np.float32)
+            base[m] = base[m] * (1 - self._alpha) + c * self._alpha
+            names = self._names if seg.get("isthing", False) else stuff_names
+            cat = seg.get("category_id", -1)
+            label = names[cat] if names and 0 <= cat < len(names) else str(cat)
+            ys, xs = np.nonzero(m)
+            draw_labels.append((float(xs.mean()), float(ys.mean()), label,
+                                tuple(int(v) for v in c)))
+        out = Image.fromarray(base.astype(np.uint8))
+        d = ImageDraw.Draw(out)
+        for x, y, label, c in draw_labels:
+            d.text((x, y), label, fill=c)
+        self._img = out
+        return np.asarray(out)
+
     def get_image(self) -> np.ndarray:
         return np.asarray(self._img)
 
