@@ -21,7 +21,8 @@ _WEIGHTS = {
     "idol/ytvis21_r50.yaml": "IDOL_YTVIS21_R50.pth",
     "idol/ytvis21_r101.yaml": "IDOL_YTVIS21_R101.pth",
     "idol/ovis_r50.yaml": "IDOL_OVIS_R50.pth",
-    "idol/ovis_swin.yaml": "IDOL_OVIS_SWINL.pth",
+    "idol/ovis_swinL.yaml": "IDOL_OVIS_SWINL.pth",
+    "idol/ytvis21_swinL.yaml": "IDOL_YTVIS21_SWINL.pth",
 }
 
 
