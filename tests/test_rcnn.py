@@ -110,3 +110,41 @@ def test_rcnn_inference_shapes(tiny_rcnn):
     # boxes clipped to the image
     assert (b[..., 0::2] <= 96 + 1e-3).all() and (b[..., 1::2] <= 64 + 1e-3).all()
     assert (b >= -1e-3).all()
+
+
+def test_keypoint_rcnn_train_and_inference():
+    model = GeneralizedRCNN(
+        num_classes=2, fpn_channels=32, proposals_per_image=16,
+        roi_batch_per_image=8, max_detections=4, keypoint_on=True, num_keypoints=3,
+    )
+    images = jnp.zeros((1, 64, 96, 3))
+    sizes = jnp.asarray([[64, 96]], jnp.int32)
+    targets = DetTargets(
+        labels=jnp.asarray([[0, 1]], jnp.int32),
+        boxes=jnp.asarray([[[8, 8, 40, 40], [50, 20, 90, 60]]], jnp.float32),
+        valid=jnp.asarray([[True, True]]),
+    )
+    gt_kps = jnp.asarray(
+        [[[[12, 12, 2], [30, 30, 2], [0, 0, 0]],
+          [[55, 25, 2], [80, 50, 1], [0, 0, 0]]]], jnp.float32
+    )  # [1, 2, 3, 3]
+    params = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0), images, sizes, targets,
+                           train=True, gt_keypoints=gt_kps)["params"]
+    )()
+    losses = jax.jit(
+        lambda p: model.apply({"params": p}, images, sizes, targets, train=True,
+                              rng_key=jax.random.PRNGKey(5), gt_keypoints=gt_kps)
+    )(params)
+    assert "loss_keypoint" in losses
+    for k, v in losses.items():
+        assert np.isfinite(float(v)) and float(v) >= 0, k
+    # random heatmaps over 28x28 grid: CE ~ log(784)
+    assert 2.0 < float(losses["loss_keypoint"]) < 12.0
+
+    out = jax.jit(
+        lambda p: model.apply({"params": p}, images, sizes, method=GeneralizedRCNN.inference)
+    )(params)
+    assert out["keypoints"].shape == (1, 4, 3, 3)
+    kp = np.asarray(out["keypoints"])
+    assert np.isfinite(kp).all()

@@ -146,6 +146,8 @@ class StandardROIHeads(nn.Module):
     fc_dim: int = 1024
     pooler_levels: Tuple[int, int] = (2, 5)   # p2..p5
     mask_on: bool = False
+    keypoint_on: bool = False
+    num_keypoints: int = 17
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -185,6 +187,14 @@ class StandardROIHeads(nn.Module):
                                          name="mask_deconv")(m))
             m = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="mask_pred")(m)
             out["mask_logits"] = m.reshape(b, r, *m.shape[1:]).astype(jnp.float32)
+        if self.keypoint_on:
+            from .roi_heads_extra import KRCNNConvDeconvUpsampleHead
+
+            kp = KRCNNConvDeconvUpsampleHead(
+                num_keypoints=self.num_keypoints, conv_dims=(256,) * 4,
+                dtype=self.dtype, name="keypoint_head",
+            )(pooled)                                   # [B*R, 4s, 4s, K]
+            out["keypoint_logits"] = kp.reshape(b, r, *kp.shape[1:])
         return out
 
 
@@ -196,6 +206,8 @@ class GeneralizedRCNN(nn.Module):
     roi_batch_per_image: int = 128
     roi_pos_fraction: float = 0.25
     mask_on: bool = False
+    keypoint_on: bool = False
+    num_keypoints: int = 17
     test_score_thresh: float = 0.05
     test_nms_thresh: float = 0.5
     max_detections: int = 100
@@ -212,7 +224,10 @@ class GeneralizedRCNN(nn.Module):
                        post_nms_topk=self.proposals_per_image,
                        strides=(4, 8, 16, 32, 64), dtype=self.dtype, name="rpn")
         self.roi_heads = StandardROIHeads(num_classes=self.num_classes,
-                                          mask_on=self.mask_on, dtype=self.dtype,
+                                          mask_on=self.mask_on,
+                                          keypoint_on=self.keypoint_on,
+                                          num_keypoints=self.num_keypoints,
+                                          dtype=self.dtype,
                                           name="roi_heads")
         self.box2box = Box2BoxTransform(weights=(10.0, 10.0, 5.0, 5.0))
 
@@ -220,15 +235,18 @@ class GeneralizedRCNN(nn.Module):
         return self.fpn(self.backbone(images))
 
     def __call__(self, images: Array, image_sizes: Array, targets: DetTargets,
-                 train: bool = True, rng_key=None, gt_masks: Array = None) -> Dict[str, Array]:
-        """gt_masks (optional, required when ``mask_on``): [B, K, H, W] float
-        bitmasks aligned with ``targets`` slots at input-image resolution."""
+                 train: bool = True, rng_key=None, gt_masks: Array = None,
+                 gt_keypoints: Array = None) -> Dict[str, Array]:
+        """gt_masks (required when ``mask_on``): [B, K, H, W] float bitmasks;
+        gt_keypoints (required when ``keypoint_on``): [B, K, num_kp, 3]
+        absolute (x, y, vis) — both aligned with ``targets`` slots."""
         feats = self._features(images)
-        return self.losses_on_features(feats, image_sizes, targets, train, rng_key, gt_masks)
+        return self.losses_on_features(feats, image_sizes, targets, train,
+                                       rng_key, gt_masks, gt_keypoints)
 
     def losses_on_features(self, feats: Dict[str, Array], image_sizes: Array,
                            targets: DetTargets, train: bool = True, rng_key=None,
-                           gt_masks: Array = None) -> Dict[str, Array]:
+                           gt_masks: Array = None, gt_keypoints: Array = None) -> Dict[str, Array]:
         """Training losses given precomputed FPN features (lets PanopticFPN share
         one backbone pass between the instance and semantic branches)."""
         fpn_list = [feats[f"p{i}"] for i in range(2, 7)]
@@ -307,6 +325,24 @@ class GeneralizedRCNN(nn.Module):
             )[..., 0]                                           # [B, Rb, m, m]
             per_roi = sigmoid_bce_with_logits(m_logits, gt_crop).mean((-2, -1))
             losses["loss_mask"] = jnp.sum(per_roi * sel_fg) / jnp.maximum(jnp.sum(sel_fg), 1.0)
+
+        if self.keypoint_on:
+            assert gt_keypoints is not None, "keypoint_on=True requires gt_keypoints"
+            from .roi_heads_extra import keypoint_rcnn_loss
+
+            # gather each selected ROI's matched instance keypoints [B, Rb, Kp, 3]
+            sel_kps = jnp.take_along_axis(
+                gt_keypoints, sel_gt_idx[..., None, None], axis=1
+            )
+            rb = sel_rois.shape[1]
+            losses["loss_keypoint"] = keypoint_rcnn_loss(
+                head_out["keypoint_logits"].reshape(
+                    b * rb, *head_out["keypoint_logits"].shape[2:]
+                ),
+                sel_kps.reshape(b * rb, *sel_kps.shape[2:]),
+                sel_rois.reshape(b * rb, 4),
+                sel_fg.reshape(b * rb),
+            )
         return losses
 
     def inference(self, images: Array, image_sizes: Array) -> Dict[str, Array]:
@@ -347,6 +383,18 @@ class GeneralizedRCNN(nn.Module):
                 axis=-1,
             )[..., 0]
             out["mask_probs"] = jax.nn.sigmoid(det_ml)        # [B, D, m, m]
+        if self.keypoint_on:
+            from .roi_heads_extra import keypoint_rcnn_inference
+
+            kl = head_out["keypoint_logits"]                  # [B, R, S, S, Kp]
+            det_kl = jnp.take_along_axis(
+                kl, det_idx[:, :, None, None, None], axis=1
+            )
+            det_boxes = out["boxes"]
+            d = det_boxes.shape[1]
+            out["keypoints"] = jax.vmap(keypoint_rcnn_inference)(
+                det_kl, det_boxes
+            )                                                  # [B, D, Kp, 3]
         return out
 
 
