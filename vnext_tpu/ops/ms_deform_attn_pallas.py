@@ -43,45 +43,48 @@ def _choose_tile(q: int, p: int, w: int, d: int) -> Tuple[int, int]:
     return tq, w
 
 
-def _level_kernel(loc_ref, w_ref, value_ref, wl_ref, g_ref, g2_ref, out_ref, *, H, W, D, P, TQ):
+def _level_kernel(loc_ref, w_ref, value_ref, wl_ref, g_ref, g3_ref, out_ref, *, H, W, D, P, TQ):
     """One (bm, query-tile) program.
 
-    loc_ref: [1, TQ, P, 2] normalized sampling locations for this level
-    w_ref:   [1, TQ, P]    attention weights
+    loc_ref: [1, TQ*P, 2] normalized sampling locations, (q, p) pre-flattened
+    w_ref:   [1, TQ*P, 1]  attention weights
     value_ref: [1, H, W*D] level features
     wl_ref:  [1, W*D]      constant: column index of each lane (l // D)
     g_ref:   [W*D, D]      constant 0/1 group-sum matrix (l % D == d)
-    g2_ref:  [P*D, D]      constant 0/1 point-sum matrix
+    g3_ref:  [TQ, TQ*P]    constant 0/1 point-sum matrix (j // P == i)
     out_ref: [1, TQ, D]    weighted sampled output
 
-    Everything stays 2D with 128-lane-friendly shapes: the row interpolation is
-    one MXU matmul; the column interpolation is a lane-indexed elementwise mask
-    followed by a matmul against a constant group-sum matrix (no [.., W, D]
-    reshape, which would force Mosaic into a 4x lane-padded 3D layout). The
-    integer index helpers are precomputed host-side constants.
+    Everything stays 2D with 128-lane-friendly shapes and NO lane<->sublane
+    reshapes (Mosaic rejects those shape casts): the (q, p) axes arrive
+    pre-flattened, the row interpolation is one MXU matmul, the column
+    interpolation is a lane-indexed elementwise mask + a constant group-sum
+    matmul, and the P-point reduction is another constant matmul.
     """
-    loc = loc_ref[0].astype(jnp.float32)        # [TQ, P, 2]
-    attn = w_ref[0].astype(jnp.float32)         # [TQ, P]
+    loc = loc_ref[0].astype(jnp.float32)        # [TQ*P, 2]
+    attn_col = w_ref[0].astype(jnp.float32)     # [TQ*P, 1]
 
-    x = loc[:, :, 0] * W - 0.5                  # [TQ, P]
-    y = loc[:, :, 1] * H - 0.5
+    x = loc[:, 0:1] * W - 0.5                   # [TQ*P, 1]
+    y = loc[:, 1:2] * H - 0.5
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    tx = (x - x0).reshape(TQ * P, 1)
-    ty = (y - y0).reshape(TQ * P, 1)
-    x0 = x0.reshape(TQ * P, 1)
-    y0 = y0.reshape(TQ * P, 1)
-    attn_col = attn.reshape(TQ * P, 1)
+    tx = x - x0
+    ty = y - y0
 
-    iota_h = jax.lax.broadcasted_iota(jnp.float32, (TQ * P, H), 1)
-    # two-corner row selector; OOB corners never match the iota -> zero weight
-    ry = jnp.where(iota_h == y0, 1.0 - ty, 0.0) + jnp.where(iota_h == y0 + 1.0, ty, 0.0)
+    # Mosaic requires integer iota; compare in int space (y0 is floor()ed so the
+    # cast is exact in range; the guard only kills extreme samples — y0 == -1
+    # must still contribute its (y0 + 1 == 0) corner like the float comparison)
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (TQ * P, H), 1)
+    y0i = y0.astype(jnp.int32)
+    oob = (y0 < -1e6) | (y0 > 1e6)
+    ry = jnp.where((iota_h == y0i) & ~oob, 1.0 - ty, 0.0) + jnp.where(
+        (iota_h == y0i + 1) & ~oob, ty, 0.0
+    )
 
     v = value_ref[0]                            # [H, W*D]
     u = jnp.dot(ry.astype(v.dtype), v, preferred_element_type=jnp.float32)  # [TQ*P, W*D]
 
     # column selector indexed by lane group: lane l covers column w = l // D
-    w_of_l = wl_ref[0].reshape(1, W * D)
+    w_of_l = wl_ref[:]                          # [1, W*D]
     rx_big = (
         jnp.where(w_of_l == x0, 1.0 - tx, 0.0) + jnp.where(w_of_l == x0 + 1.0, tx, 0.0)
     ) * attn_col
@@ -91,10 +94,9 @@ def _level_kernel(loc_ref, w_ref, value_ref, wl_ref, g_ref, g2_ref, out_ref, *, 
         prod, g_ref[:].astype(jnp.float32), preferred_element_type=jnp.float32
     )  # [TQ*P, D]
 
-    # sum over the P points: contiguous row-block reshape + tiny group-sum matmul
-    samp2 = samp.reshape(TQ, P * D)
+    # sum over the P points with a constant selector matmul (reshape-free)
     out = jnp.dot(
-        samp2, g2_ref[:].astype(jnp.float32), preferred_element_type=jnp.float32
+        g3_ref[:].astype(jnp.float32), samp, preferred_element_type=jnp.float32
     )  # [TQ, D]
     out_ref[0] = out.astype(out_ref.dtype)
 
@@ -118,18 +120,24 @@ def _sample_level(value_l: Array, loc_l: Array, w_l: Array, H: int, W: int) -> A
         (np.arange(W * d) // d).astype(np.float32)[None, :]
     )  # [1, W*D]
     g = jnp.asarray((np.arange(W * d)[:, None] % d == np.arange(d)[None, :]).astype(np.float32))
-    g2 = jnp.asarray((np.arange(p * d)[:, None] % d == np.arange(d)[None, :]).astype(np.float32))
+    g3 = jnp.asarray(
+        (np.arange(tq)[:, None] == (np.arange(tq * p)[None, :] // p)).astype(np.float32)
+    )  # [TQ, TQ*P]
+
+    # pre-flatten (q, p) so the kernel never lane<->sublane reshapes
+    loc_flat = loc_l.reshape(bm, q_pad * p, 2)
+    w_flat = w_l.reshape(bm, q_pad * p, 1)
 
     out = pl.pallas_call(
         kernel,
         grid=(bm, q_pad // tq),
         in_specs=[
-            pl.BlockSpec((1, tq, p, 2), lambda b, t: (b, t, 0, 0)),
-            pl.BlockSpec((1, tq, p), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, tq * p, 2), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, tq * p, 1), lambda b, t: (b, t, 0)),
             pl.BlockSpec((1, H, W * d), lambda b, t: (b, 0, 0)),
             pl.BlockSpec((1, W * d), lambda b, t: (0, 0)),
             pl.BlockSpec((W * d, d), lambda b, t: (0, 0)),
-            pl.BlockSpec((p * d, d), lambda b, t: (0, 0)),
+            pl.BlockSpec((tq, tq * p), lambda b, t: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, tq, d), lambda b, t: (b, t, 0)),
         out_shape=jax.ShapeDtypeStruct((bm, q_pad, d), jnp.float32),
@@ -137,7 +145,7 @@ def _sample_level(value_l: Array, loc_l: Array, w_l: Array, H: int, W: int) -> A
             flops=flops, bytes_accessed=value_l.size * 2 + loc_l.size * 4, transcendentals=0
         ),
         interpret=jax.default_backend() != "tpu",  # CPU tests run interpreted
-    )(loc_l, w_l, value_l, w_of_l, g, g2)
+    )(loc_flat, w_flat, value_l, w_of_l, g, g3)
     return out[:, :q]
 
 
