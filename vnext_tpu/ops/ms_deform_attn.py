@@ -193,11 +193,14 @@ def ms_deform_attn(
         from .ms_deform_attn_pallas import ms_deform_attn_pallas
 
         return ms_deform_attn_pallas(value, spatial_shapes, sampling_locations, attention_weights)
-    if impl == "xla" or (impl == "auto" and jax.default_backend() == "tpu"):
-        # 'auto' on TPU picks the gather-free factorized form. The Pallas kernel
-        # (same math, VMEM-fused, several-fold faster still) is opt-in via
-        # impl='pallas' — kernel compilation is unavailable through this
-        # environment's remote-compile tunnel.
+    if impl == "auto" and jax.default_backend() == "tpu":
+        # 'auto' on TPU picks the Pallas kernel (44 ms vs 75 ms per encoder
+        # layer for the factorized XLA form at eval shapes; identical math,
+        # backward delegates to the factorized path's remat'd autodiff).
+        from .ms_deform_attn_pallas import ms_deform_attn_pallas
+
+        return ms_deform_attn_pallas(value, spatial_shapes, sampling_locations, attention_weights)
+    if impl == "xla":
         return ms_deform_attn_factorized_xla(
             value, spatial_shapes, sampling_locations, attention_weights
         )

@@ -2,7 +2,9 @@
 
 Why a kernel: XLA lowers the op's 4-corner bilinear gather (millions of random
 32-float row reads per layer) to a sequential scalar loop on TPU — measured at
-~560 ms per encoder layer on v5e for eval shapes, dominating inference.
+~560 ms per encoder layer on v5e for eval shapes, dominating inference. The
+gather-free XLA reformulation (ops/ms_deform_attn.py factorized path) reaches
+~75 ms/layer; this kernel reaches ~44 ms/layer.
 
 TPU-first reformulation (no gathers at all): bilinear sampling is separable, so
 for one feature level V in [H, W*D]:
@@ -10,14 +12,24 @@ for one feature level V in [H, W*D]:
     sample(q, p) = Rx[q,p] . (Ry[q,p] @ V)        # Ry: [H], Rx: [W] row selectors
 
 where Ry/Rx each have <= 2 nonzeros (the bilinear corner weights), built densely
-with iota comparisons. Stacking (q, p) rows turns the gather into one
-[TQ*P, H] @ [H, W*D] matmul per query tile — pure MXU work, with the [TQ*P, W*D]
-intermediate living only in VMEM. Out-of-bounds corners get zero weight, exactly
+with iota comparisons. Out-of-bounds corners get zero weight, exactly
 reproducing grid_sample's zero padding (validated against ops/ms_deform_attn.py
 and the reference's own CUDA-vs-grid_sample test scheme, idol/models/ops/test.py:32).
 
-Forward-only kernel; gradients fall back to the jnp core via custom_vjp (a
-matching backward kernel is the natural next step — dV is the transposed matmul).
+Layout choices (learned by ablation on v5e — see docs/ROUND1.md):
+- samples live on LANES (everything transposed): the kernel computes
+  u^T = V^T @ Ry^T as one MXU matmul with full-lane outputs;
+- the column interpolation is a sublane-iota masked multiply;
+- the W-group reduction runs as W static SUBLANE slices accumulated with
+  native full-lane adds — the naive [TQP, W*D] @ [W*D, D] group-sum matmul is
+  N=32-lane-starved and alone cost ~37 ms/layer;
+- the P-point reduction is a tiny constant matmul.
+- Mosaic constraints honored: integer iota only, no lane<->sublane reshapes
+  ((q, p) arrives pre-flattened), no dynamic slices in-kernel.
+
+Backward: custom_vjp delegating to the XLA factorized path's autodiff (already
+remat-optimized for training); a dedicated backward kernel (transposed matmuls)
+is the remaining optimization.
 """
 
 from __future__ import annotations
@@ -28,43 +40,33 @@ from typing import Sequence, Tuple
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 Array = jnp.ndarray
 
-_VMEM_BUDGET = 10 * 1024 * 1024  # bytes for the U intermediate
+_VMEM_BUDGET = 8 * 1024 * 1024  # bytes for the u^T intermediate
 
 
-def _choose_tile(q: int, p: int, w: int, d: int) -> Tuple[int, int]:
-    """Query tile TQ such that the two [TQ*P, W*D] f32 intermediates fit VMEM."""
+def _choose_tile(p: int, w: int, d: int) -> int:
+    """Query tile TQ such that the [W*D, TQ*P] f32 intermediate fits VMEM."""
     tq = 128
-    while tq > 8 and tq * p * w * d * 8 > _VMEM_BUDGET:
+    while tq > 8 and w * d * tq * p * 4 > _VMEM_BUDGET:
         tq //= 2
-    return tq, w
+    return tq
 
 
-def _level_kernel(loc_ref, w_ref, value_ref, wl_ref, g_ref, g3_ref, out_ref, *, H, W, D, P, TQ):
-    """One (bm, query-tile) program.
+def _level_kernel(loc_ref, w_ref, value_ref, g3_ref, out_ref, *, H, W, D, P, TQ):
+    """One (bm, query-tile) program; transposed layout (samples on lanes).
 
-    loc_ref: [1, TQ*P, 2] normalized sampling locations, (q, p) pre-flattened
-    w_ref:   [1, TQ*P, 1]  attention weights
-    value_ref: [1, H, W*D] level features
-    wl_ref:  [1, W*D]      constant: column index of each lane (l // D)
-    g_ref:   [W*D, D]      constant 0/1 group-sum matrix (l % D == d)
-    g3_ref:  [TQ, TQ*P]    constant 0/1 point-sum matrix (j // P == i)
-    out_ref: [1, TQ, D]    weighted sampled output
-
-    Everything stays 2D with 128-lane-friendly shapes and NO lane<->sublane
-    reshapes (Mosaic rejects those shape casts): the (q, p) axes arrive
-    pre-flattened, the row interpolation is one MXU matmul, the column
-    interpolation is a lane-indexed elementwise mask + a constant group-sum
-    matmul, and the P-point reduction is another constant matmul.
+    loc_ref: [1, 2, TQ*P]   normalized sampling locations, (q, p) pre-flattened
+    w_ref:   [1, 1, TQ*P]   attention weights
+    value_ref: [1, W*D, H]  level features, transposed
+    g3_ref:  [TQ*P, TQ]     constant 0/1 point-sum matrix (i // P == j)
+    out_ref: [1, D, TQ]     weighted sampled output (transposed)
     """
-    loc = loc_ref[0].astype(jnp.float32)        # [TQ*P, 2]
-    attn_col = w_ref[0].astype(jnp.float32)     # [TQ*P, 1]
-
-    x = loc[:, 0:1] * W - 0.5                   # [TQ*P, 1]
-    y = loc[:, 1:2] * H - 0.5
+    loc = loc_ref[0].astype(jnp.float32)          # [2, TQP]
+    attn_row = w_ref[0].astype(jnp.float32)       # [1, TQP]
+    x = loc[0:1] * W - 0.5                        # [1, TQP]
+    y = loc[1:2] * H - 0.5
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     tx = x - x0
@@ -72,40 +74,42 @@ def _level_kernel(loc_ref, w_ref, value_ref, wl_ref, g_ref, g3_ref, out_ref, *, 
 
     # Mosaic requires integer iota; compare in int space (y0 is floor()ed so the
     # cast is exact in range; the guard only kills extreme samples — y0 == -1
-    # must still contribute its (y0 + 1 == 0) corner like the float comparison)
-    iota_h = jax.lax.broadcasted_iota(jnp.int32, (TQ * P, H), 1)
+    # must still contribute its (y0 + 1 == 0) corner like a float comparison)
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (H, TQ * P), 0)
     y0i = y0.astype(jnp.int32)
-    oob = (y0 < -1e6) | (y0 > 1e6)
-    ry = jnp.where((iota_h == y0i) & ~oob, 1.0 - ty, 0.0) + jnp.where(
-        (iota_h == y0i + 1) & ~oob, ty, 0.0
-    )
+    ooby = (y0 < -1e6) | (y0 > 1e6)
+    ryT = jnp.where((iota_h == y0i) & ~ooby, 1.0 - ty, 0.0) + jnp.where(
+        (iota_h == y0i + 1) & ~ooby, ty, 0.0
+    )                                             # [H, TQP]
 
-    v = value_ref[0]                            # [H, W*D]
-    u = jnp.dot(ry.astype(v.dtype), v, preferred_element_type=jnp.float32)  # [TQ*P, W*D]
+    vT = value_ref[0]                             # [W*D, H]
+    uT = jnp.dot(vT, ryT.astype(vT.dtype), preferred_element_type=jnp.float32)
 
-    # column selector indexed by lane group: lane l covers column w = l // D
-    w_of_l = wl_ref[:]                          # [1, W*D]
-    rx_big = (
-        jnp.where(w_of_l == x0, 1.0 - tx, 0.0) + jnp.where(w_of_l == x0 + 1.0, tx, 0.0)
-    ) * attn_col
-    prod = u * rx_big                           # [TQ*P, W*D]
+    # column selector on sublanes: row r covers column w = r // D
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (W * D, TQ * P), 0) // D
+    x0i = x0.astype(jnp.int32)
+    oobx = (x0 < -1e6) | (x0 > 1e6)
+    rxT = (
+        jnp.where((iota_w == x0i) & ~oobx, 1.0 - tx, 0.0)
+        + jnp.where((iota_w == x0i + 1) & ~oobx, tx, 0.0)
+    ) * attn_row
+    prodT = uT * rxT                              # [W*D, TQP]
 
-    samp = jnp.dot(
-        prod, g_ref[:].astype(jnp.float32), preferred_element_type=jnp.float32
-    )  # [TQ*P, D]
+    # W-group reduction: static sublane slices, native full-lane adds
+    sampT = prodT[0:D, :]
+    for w in range(1, W):
+        sampT = sampT + prodT[w * D : (w + 1) * D, :]    # [D, TQP]
 
-    # sum over the P points with a constant selector matmul (reshape-free)
-    out = jnp.dot(
-        g3_ref[:].astype(jnp.float32), samp, preferred_element_type=jnp.float32
-    )  # [TQ, D]
-    out_ref[0] = out.astype(out_ref.dtype)
+    outT = jnp.dot(sampT, g3_ref[:].astype(jnp.float32),
+                   preferred_element_type=jnp.float32)   # [D, TQ]
+    out_ref[0] = outT.astype(out_ref.dtype)
 
 
 def _sample_level(value_l: Array, loc_l: Array, w_l: Array, H: int, W: int) -> Array:
     """value_l: [BM, H, W*D]; loc_l: [BM, Q, P, 2]; w_l: [BM, Q, P] -> [BM, Q, D]."""
     bm, q, p, _ = loc_l.shape
     d = value_l.shape[-1] // W
-    tq, _ = _choose_tile(q, p, W, d)
+    tq = _choose_tile(p, W, d)
     q_pad = ((q + tq - 1) // tq) * tq
     if q_pad != q:
         loc_l = jnp.pad(loc_l, ((0, 0), (0, q_pad - q), (0, 0), (0, 0)), constant_values=0.5)
@@ -116,37 +120,32 @@ def _sample_level(value_l: Array, loc_l: Array, w_l: Array, H: int, W: int) -> A
 
     import numpy as np
 
-    w_of_l = jnp.asarray(
-        (np.arange(W * d) // d).astype(np.float32)[None, :]
-    )  # [1, W*D]
-    g = jnp.asarray((np.arange(W * d)[:, None] % d == np.arange(d)[None, :]).astype(np.float32))
     g3 = jnp.asarray(
-        (np.arange(tq)[:, None] == (np.arange(tq * p)[None, :] // p)).astype(np.float32)
-    )  # [TQ, TQ*P]
+        ((np.arange(tq * p)[:, None] // p) == np.arange(tq)[None, :]).astype(np.float32)
+    )  # [TQ*P, TQ]
 
-    # pre-flatten (q, p) so the kernel never lane<->sublane reshapes
-    loc_flat = loc_l.reshape(bm, q_pad * p, 2)
-    w_flat = w_l.reshape(bm, q_pad * p, 1)
+    # transposed host-side layouts (XLA transposes, cheap) + pre-flattened (q, p)
+    loc_T = jnp.swapaxes(loc_l.reshape(bm, q_pad * p, 2), 1, 2)
+    w_T = jnp.swapaxes(w_l.reshape(bm, q_pad * p, 1), 1, 2)
+    v_T = jnp.swapaxes(value_l, 1, 2)             # [BM, W*D, H]
 
     out = pl.pallas_call(
         kernel,
         grid=(bm, q_pad // tq),
         in_specs=[
-            pl.BlockSpec((1, tq * p, 2), lambda b, t: (b, t, 0)),
-            pl.BlockSpec((1, tq * p, 1), lambda b, t: (b, t, 0)),
-            pl.BlockSpec((1, H, W * d), lambda b, t: (b, 0, 0)),
-            pl.BlockSpec((1, W * d), lambda b, t: (0, 0)),
-            pl.BlockSpec((W * d, d), lambda b, t: (0, 0)),
-            pl.BlockSpec((tq, tq * p), lambda b, t: (0, 0)),
+            pl.BlockSpec((1, 2, tq * p), lambda b, t: (b, 0, t)),
+            pl.BlockSpec((1, 1, tq * p), lambda b, t: (b, 0, t)),
+            pl.BlockSpec((1, W * d, H), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((tq * p, tq), lambda b, t: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, tq, d), lambda b, t: (b, t, 0)),
-        out_shape=jax.ShapeDtypeStruct((bm, q_pad, d), jnp.float32),
+        out_specs=pl.BlockSpec((1, d, tq), lambda b, t: (b, 0, t)),
+        out_shape=jax.ShapeDtypeStruct((bm, d, q_pad), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=value_l.size * 2 + loc_l.size * 4, transcendentals=0
         ),
         interpret=jax.default_backend() != "tpu",  # CPU tests run interpreted
-    )(loc_flat, w_flat, value_l, w_of_l, g, g3)
-    return out[:, :q]
+    )(loc_T, w_T, v_T, g3)
+    return jnp.swapaxes(out, 1, 2)[:, :q]
 
 
 def _forward(value, spatial_shapes, sampling_locations, attention_weights):
@@ -182,15 +181,16 @@ def _fwd(value, spatial_shapes, sampling_locations, attention_weights):
 
 
 def _bwd(spatial_shapes, residuals, g):
-    # gradients via the jnp reference implementation's autodiff (correct, slower);
-    # a dedicated backward kernel (transposed matmuls) is a planned optimization.
-    from .ms_deform_attn import ms_deform_attn_core_jnp
+    # gradients via the gather-free factorized path's autodiff (remat-optimized;
+    # a dedicated backward kernel — transposed matmuls — is the next step)
+    from .ms_deform_attn import ms_deform_attn_factorized_xla
 
     value, loc, attn = residuals
     _, vjp = jax.vjp(
-        lambda v, l, a: ms_deform_attn_core_jnp(v, spatial_shapes, l, a), value, loc, attn
+        lambda v, l, a: ms_deform_attn_factorized_xla(v, spatial_shapes, l, a),
+        value, loc, attn,
     )
-    return vjp(g)
+    return vjp(g.astype(value.dtype))
 
 
 ms_deform_attn_pallas.defvjp(_fwd, _bwd)
