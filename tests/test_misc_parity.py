@@ -315,3 +315,33 @@ def test_visualizer_keypoints_and_panoptic():
     # both halves got colored
     assert out2[5, 5].sum() > 0 and out2[35, 5].sum() > 0
     assert not np.array_equal(out2[5, 5], out2[35, 5])
+
+
+def test_build_model_all_archs():
+    from vnext_tpu.config import get_cfg
+    from vnext_tpu.models import build_model
+
+    for arch, cls_name in [
+        ("GeneralizedRCNN", "GeneralizedRCNN"),
+        ("PanopticFPN", "PanopticFPN"),
+        ("ProposalNetwork", "ProposalNetwork"),
+        ("RetinaNet", "RetinaNet"),
+        ("FCOS", "FCOS"),
+        ("SemanticSegmentor", "SemanticSegmentor"),
+        ("IDOL", "IDOL"),
+    ]:
+        cfg = get_cfg()
+        if arch == "IDOL":
+            from vnext_tpu.config import add_idol_config
+
+            add_idol_config(cfg)
+        cfg.MODEL.META_ARCHITECTURE = arch
+        m = build_model(cfg)
+        assert type(m).__name__ == cls_name, arch
+    # config plumbs through
+    cfg = get_cfg()
+    cfg.MODEL.META_ARCHITECTURE = "GeneralizedRCNN"
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 7
+    cfg.MODEL.KEYPOINT_ON = True
+    m = build_model(cfg)
+    assert m.num_classes == 7 and m.keypoint_on
