@@ -85,20 +85,20 @@ def _level_kernel(loc_ref, w_ref, value_ref, g3_ref, out_ref, *, H, W, D, P, TQ)
     vT = value_ref[0]                             # [W*D, H]
     uT = jnp.dot(vT, ryT.astype(vT.dtype), preferred_element_type=jnp.float32)
 
-    # column selector on sublanes: row r covers column w = r // D
-    iota_w = jax.lax.broadcasted_iota(jnp.int32, (W * D, TQ * P), 0) // D
+    # small [W, TQP] column selector — applied per slice inside the reduction
+    # loop (building the full [W*D, TQP] rxT costs ~8 ms/layer of pure VPU)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, TQ * P), 0)
     x0i = x0.astype(jnp.int32)
     oobx = (x0 < -1e6) | (x0 > 1e6)
-    rxT = (
+    rxw = (
         jnp.where((iota_w == x0i) & ~oobx, 1.0 - tx, 0.0)
         + jnp.where((iota_w == x0i + 1) & ~oobx, tx, 0.0)
-    ) * attn_row
-    prodT = uT * rxT                              # [W*D, TQP]
+    ) * attn_row                                  # [W, TQP]
 
-    # W-group reduction: static sublane slices, native full-lane adds
-    sampT = prodT[0:D, :]
+    # W-group reduction: static sublane slices, native full-lane multiply-adds
+    sampT = rxw[0:1, :] * uT[0:D, :]
     for w in range(1, W):
-        sampT = sampT + prodT[w * D : (w + 1) * D, :]    # [D, TQP]
+        sampT = sampT + rxw[w : w + 1, :] * uT[w * D : (w + 1) * D, :]   # [D, TQP]
 
     outT = jnp.dot(sampT, g3_ref[:].astype(jnp.float32),
                    preferred_element_type=jnp.float32)   # [D, TQ]
