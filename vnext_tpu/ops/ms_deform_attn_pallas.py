@@ -43,12 +43,12 @@ from jax.experimental import pallas as pl
 
 Array = jnp.ndarray
 
-_VMEM_BUDGET = 8 * 1024 * 1024  # bytes for the u^T intermediate
+_VMEM_BUDGET = 15 * 1024 * 1024  # bytes for the u^T intermediate (16 MB scoped cap)
 
 
 def _choose_tile(p: int, w: int, d: int) -> int:
     """Query tile TQ such that the [W*D, TQ*P] f32 intermediate fits VMEM."""
-    tq = 128
+    tq = 256
     while tq > 8 and w * d * tq * p * 4 > _VMEM_BUDGET:
         tq //= 2
     return tq
