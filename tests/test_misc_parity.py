@@ -345,3 +345,51 @@ def test_build_model_all_archs():
     cfg.MODEL.KEYPOINT_ON = True
     m = build_model(cfg)
     assert m.num_classes == 7 and m.keypoint_on
+
+
+def test_photometric_transforms():
+    import random as pyrandom
+
+    from vnext_tpu.data.transforms import (
+        BlendTransform,
+        random_brightness,
+        random_contrast,
+        random_saturation,
+    )
+
+    rng = pyrandom.Random(0)
+    img = (np.arange(24).reshape(2, 4, 3) * 10).astype(np.uint8)
+    # brightness w: out = w * img
+    t = random_brightness(rng, 1.2, 1.2)
+    out = t.apply_image(img)
+    np.testing.assert_allclose(out, np.clip(img * 1.2, 0, 255).astype(np.uint8))
+    # contrast at w=0 collapses to the mean
+    t = BlendTransform(float(img.mean()), 1.0, 0.0)
+    assert (t.apply_image(img) == int(img.mean())).all()
+    # saturation at w=0 collapses to grey (channels equal)
+    t = random_saturation(img, rng, 0.0, 0.0)
+    g = t.apply_image(img)
+    assert (g[..., 0] == g[..., 1]).all() and (g[..., 1] == g[..., 2]).all()
+    # geometry untouched
+    box = np.asarray([[1.0, 2.0, 3.0, 4.0]])
+    np.testing.assert_array_equal(t.apply_box(box), box)
+
+
+def test_rotation_transform():
+    from vnext_tpu.data.transforms import RotationTransform
+
+    h, w = 40, 60
+    img = np.zeros((h, w, 3), np.uint8)
+    img[10:14, 20:26] = 255
+    t = RotationTransform(h, w, 90.0)
+    out = t.apply_image(img)
+    assert out.shape[:2] == (t.new_h, t.new_w)
+    assert abs(t.new_h - 60) <= 2 and abs(t.new_w - 40) <= 2
+    # a point maps consistently with the image rotation: take the blob center
+    c_in = np.asarray([[23.0, 12.0]])  # (x, y)
+    c_out = t.apply_coords(c_in.copy())[0]
+    ys, xs = np.nonzero(out[..., 0] > 127)
+    np.testing.assert_allclose([xs.mean(), ys.mean()], c_out, atol=1.5)
+    # boxes stay tight around the rotated blob
+    box = t.apply_box(np.asarray([[20.0, 10.0, 26.0, 14.0]]))[0]
+    assert box[0] <= xs.min() + 1.5 and box[2] >= xs.max() - 1.5

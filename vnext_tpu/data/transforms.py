@@ -83,6 +83,78 @@ class CropTransform(Transform):
         return coords
 
 
+class BlendTransform(Transform):
+    """Photometric blend: img * src_weight + src_image * dst_weight — the
+    reference's brightness/contrast/saturation primitive
+    (fvcore BlendTransform used by augmentation_impl.py RandomBrightness:552,
+    RandomContrast:528, RandomSaturation:576). Geometry is identity."""
+
+    def __init__(self, src_image, src_weight: float, dst_weight: float):
+        self.src_image = src_image
+        self.src_weight = src_weight
+        self.dst_weight = dst_weight
+
+    def apply_image(self, img):
+        out = self.src_weight * self.src_image + self.dst_weight * img.astype(np.float64)
+        return np.clip(out, 0, 255).astype(img.dtype if img.dtype == np.uint8 else img.dtype)
+
+    def apply_coords(self, coords):
+        return coords
+
+
+def random_brightness(rng, lo: float = 0.9, hi: float = 1.1) -> BlendTransform:
+    return BlendTransform(0.0, 0.0, rng.uniform(lo, hi))
+
+
+def random_contrast(img, rng, lo: float = 0.9, hi: float = 1.1) -> BlendTransform:
+    w = rng.uniform(lo, hi)
+    return BlendTransform(float(img.mean()), 1 - w, w)
+
+
+def random_saturation(img, rng, lo: float = 0.9, hi: float = 1.1) -> BlendTransform:
+    w = rng.uniform(lo, hi)
+    grey = img.astype(np.float64) @ np.asarray([0.299, 0.587, 0.114])
+    return BlendTransform(grey[:, :, None], 1 - w, w)
+
+
+class RotationTransform(Transform):
+    """Rotate by ``angle`` degrees around the image center, expanding the
+    canvas to hold the whole rotated image (reference
+    augmentation_impl.py:392 RandomRotation with expand=True)."""
+
+    def __init__(self, h: int, w: int, angle: float):
+        self.h, self.w, self.angle = h, w, float(angle)
+        rad = np.deg2rad(self.angle)
+        c, s = np.cos(rad), np.sin(rad)
+        # expanded bounds, computed exactly like PIL.Image.rotate(expand=True)
+        # (corner transform + ceil/floor, so float slop matches PIL's output)
+        corners = np.asarray([[0, 0], [w, 0], [w, h], [0, h]], np.float64)
+        rel = corners - np.asarray([w / 2.0, h / 2.0])
+        rot = rel @ np.asarray([[c, s], [-s, c]]).T
+        self.new_w = int(np.ceil(rot[:, 0].max()) - np.floor(rot[:, 0].min()))
+        self.new_h = int(np.ceil(rot[:, 1].max()) - np.floor(rot[:, 1].min()))
+        # rotation ABOUT the original center, then shift to the new center.
+        # PIL's Image.rotate(angle) rotates counterclockwise in display coords;
+        # in array (y-down) coords that is the matrix [[c, s], [-s, c]].
+        self._m = np.asarray([[c, s], [-s, c]])
+        self._center = np.asarray([w / 2.0, h / 2.0])
+        self._new_center = np.asarray([self.new_w / 2.0, self.new_h / 2.0])
+
+    def apply_image(self, img):
+        pil = Image.fromarray(img)
+        out = pil.rotate(self.angle, resample=Image.BILINEAR, expand=True)
+        arr = np.asarray(out)
+        # PIL's expand uses the same bounds formula; pad/crop for rounding skew
+        if arr.shape[0] != self.new_h or arr.shape[1] != self.new_w:
+            fixed = np.zeros((self.new_h, self.new_w) + arr.shape[2:], arr.dtype)
+            fixed[: arr.shape[0], : arr.shape[1]] = arr[: self.new_h, : self.new_w]
+            arr = fixed
+        return arr
+
+    def apply_coords(self, coords):
+        return (coords - self._center) @ self._m.T + self._new_center
+
+
 class NoOpTransform(Transform):
     def apply_image(self, img):
         return img
