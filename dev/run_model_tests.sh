@@ -1,0 +1,26 @@
+#!/bin/bash -e
+# Mid-tier model e2e signal (~5 min): image meta-arch unit tests + the
+# flagship IDOL whole-video eval path from a quick-schedule yaml.
+
+BIN="python"
+ROOT="$(dirname "$0")/.."
+cd "$ROOT"
+
+$BIN -m pytest -q \
+    tests/test_rcnn.py \
+    tests/test_retinanet.py \
+    tests/test_fcos.py \
+    tests/test_backbone_variants.py
+
+JAX_PLATFORMS=cpu $BIN - <<'PYEOF'
+import jax; jax.config.update('jax_platforms', 'cpu')
+import sys
+sys.argv = ['train_net.py', '--config-file',
+            'configs/quick_schedules/idol_instant_test.yaml', '--eval-only']
+import importlib.util
+spec = importlib.util.spec_from_file_location('train_net', 'tools/train_net.py')
+m = importlib.util.module_from_spec(spec); spec.loader.exec_module(m)
+m.main()
+PYEOF
+
+echo "All model tests passed."

@@ -61,6 +61,8 @@ def do_eval(cfg, params=None):
     from vnext_tpu.models.idol import IDOL, build_idol_model
 
     register_all_ytvis()
+    from vnext_tpu.data.datasets.synthetic import register_synthetic_ytvis
+    register_synthetic_ytvis()
     model = build_idol_model(cfg)
     if params is None:
         h, w = cfg.TPU.TEST_IMAGE_SIZE
@@ -126,6 +128,8 @@ def do_train(cfg, resume=False):
     import numpy as np
 
     register_all_ytvis()
+    from vnext_tpu.data.datasets.synthetic import register_synthetic_ytvis
+    register_synthetic_ytvis()
     if cfg.INPUT.COCO_PRETRAIN:
         from vnext_tpu.data import register_all_coco
 
@@ -204,8 +208,28 @@ def do_train(cfg, resume=False):
 def main():
     args = default_argument_parser().parse_args()
     cfg = setup(args)
+    # dispatch: image meta-archs go through the generic detection driver
+    # (reference: one tools/train_net.py Trainer serves every meta-arch)
+    from vnext_tpu.engine.detection import _ARCH, do_eval_detection, do_train_detection
+
+    if cfg.MODEL.META_ARCHITECTURE in _ARCH:
+        from vnext_tpu.data import register_all_coco
+        from vnext_tpu.data.datasets.synthetic import register_synthetic_coco
+
+        register_all_coco()
+        register_synthetic_coco()  # quick-schedule smoke-test dataset
+        if args.eval_only:
+            results = do_eval_detection(cfg)
+            print(results)
+            return
+        do_train_detection(cfg, resume=args.resume)
+        return
     if args.eval_only:
         results = do_eval(cfg)
+        if cfg.TEST.EXPECTED_RESULTS and results:
+            from vnext_tpu.evaluation import verify_results
+
+            verify_results(cfg, next(iter(results.values())) or {})
         print(results)
         return
     do_train(cfg, resume=args.resume)

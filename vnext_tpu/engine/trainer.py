@@ -115,6 +115,7 @@ class VISTrainer(TrainerBase):
         rng,
         pixel_mean=(123.675, 116.28, 103.53),
         pixel_std=(58.395, 57.12, 57.375),
+        batch_adapter=None,
     ):
         super().__init__()
         self._train_step = train_step_fn
@@ -123,11 +124,17 @@ class VISTrainer(TrainerBase):
         self._rng = rng
         self._pixel_mean = pixel_mean
         self._pixel_std = pixel_std
+        # batch_adapter(batch) -> model-input tuple; default is the VIS/IDOL
+        # clip format. Image meta-archs pass their own (engine/detection.py).
+        self._batch_adapter = batch_adapter
         self._pending_metrics = None
 
     def run_step(self):
         batch = next(self._data_iter)
-        inputs = batch_to_model_inputs(batch, self._pixel_mean, self._pixel_std)
+        if self._batch_adapter is not None:
+            inputs = self._batch_adapter(batch)
+        else:
+            inputs = batch_to_model_inputs(batch, self._pixel_mean, self._pixel_std)
         self.state, metrics = self._train_step(self.state, inputs, self._rng)
         # write the *previous* step's metrics (keeps the device queue full)
         if self._pending_metrics is not None:

@@ -154,7 +154,18 @@ class COCOEvaluator(DatasetEvaluator):
                          "segmentations": [_box_to_rle([x, y, x + bw, y + bh], h, w)],
                          "iscrowd": ann.get("iscrowd", 0)}
                     )
-            stats = YTVOSeval(gt_task, dets).evaluate()
+            # COCO *image* area thresholds (32^2/96^2, pycocotools Params),
+            # not the video tube ranges YTVOSeval defaults to (128^2/256^2)
+            stats = YTVOSeval(
+                gt_task,
+                dets,
+                area_ranges={
+                    "all": [0, 1e10],
+                    "small": [0, 32 ** 2],
+                    "medium": [32 ** 2, 96 ** 2],
+                    "large": [96 ** 2, 1e10],
+                },
+            ).evaluate()
             results[task] = stats
             logger.info("COCO %s eval: %s", task, stats)
         return results

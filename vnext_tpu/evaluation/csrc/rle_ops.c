@@ -95,19 +95,23 @@ void tube_iou_matrix(
 /* Greedy COCO-style detection->GT matching at T IoU thresholds.
  *
  * The analogue of the reference's cocoeval.cpp COCOevalEvaluateImages inner
- * loop (csrc/cocoeval/cocoeval.cpp MatchDetectionsToGt): detections arrive
- * sorted by descending score; each takes the best still-unclaimed GT above
- * the threshold, preferring non-ignored GT, with the crowd/ignore fallback.
+ * loop (csrc/cocoeval/cocoeval.cpp MatchDetectionsToGt; python semantics in
+ * ytvoseval.py evaluateVid): detections arrive sorted by descending score,
+ * GTs sorted ignore-LAST (the caller must enforce this — the early 'break'
+ * below relies on it, exactly as pycocotools relies on its gtind argsort);
+ * each detection takes the best GT above the threshold. An already-matched
+ * GT may only be re-matched when it is a crowd GT.
  *
- * iou:        [D*G] row-major
- * gt_ignore:  [G] 0/1
+ * iou:        [D*G] row-major (columns in the ignore-sorted GT order)
+ * gt_ignore:  [G] 0/1 (iscrowd OR area-out-of-range)
+ * iscrowd:    [G] 0/1 (crowd GTs may absorb multiple detections)
  * thrs:       [T]
  * matched:    out [T*D] 0/1 (matched a non-ignored GT)
  * ignored:    out [T*D] 0/1 (matched an ignored GT -> drop from PR)
  */
 void match_greedy(
     const double* iou, int64_t D, int64_t G,
-    const uint8_t* gt_ignore,
+    const uint8_t* gt_ignore, const uint8_t* iscrowd,
     const double* thrs, int64_t T,
     uint8_t* matched, uint8_t* ignored)
 {
@@ -120,17 +124,18 @@ void match_greedy(
             double best_iou = thr < eps_cap ? thr : eps_cap;
             int64_t best_gi = -1;
             for (int64_t g = 0; g < G; ++g) {
-                if (gt_matched[g] && !gt_ignore[g]) continue;
+                if (gt_matched[g] && !iscrowd[g]) continue;
                 if (best_gi > -1 && !gt_ignore[best_gi] && gt_ignore[g]) break;
                 if (iou[d * G + g] >= best_iou) {
                     best_iou = iou[d * G + g];
                     best_gi = g;
                 }
             }
-            int m = best_gi > -1 && !gt_ignore[best_gi];
-            matched[ti * D + d] = (uint8_t)m;
-            ignored[ti * D + d] = (uint8_t)(best_gi > -1 && gt_ignore[best_gi]);
-            if (m) gt_matched[best_gi] = 1;
+            if (best_gi > -1) {
+                matched[ti * D + d] = (uint8_t)(!gt_ignore[best_gi]);
+                ignored[ti * D + d] = (uint8_t)(gt_ignore[best_gi]);
+                gt_matched[best_gi] = 1;
+            }
         }
     }
     free(gt_matched);

@@ -51,7 +51,7 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         ]
         lib.match_greedy.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
         ]
@@ -139,25 +139,34 @@ def tube_iou_matrix_native(
 
 
 def match_greedy_native(
-    iou: np.ndarray, gt_ignore: Sequence[bool], thrs: np.ndarray
+    iou: np.ndarray,
+    gt_ignore: Sequence[bool],
+    thrs: np.ndarray,
+    iscrowd: Optional[Sequence[bool]] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Greedy matching at every threshold: (matched [T, D], ignored [T, D]).
 
     The reference's cocoeval.cpp MatchDetectionsToGt inner loop; detections must
-    be score-sorted rows of ``iou``.
+    be score-sorted rows of ``iou`` and GT columns sorted ignore-last (the
+    pycocotools gtind argsort invariant). Only crowd GTs may be re-matched.
     """
     lib = _build_and_load()
     assert lib is not None
     iou = np.ascontiguousarray(iou, dtype=np.float64)
     d, g = iou.shape
     ign = np.ascontiguousarray(gt_ignore, dtype=np.uint8)
+    crowd = (
+        np.zeros(g, np.uint8)
+        if iscrowd is None
+        else np.ascontiguousarray(iscrowd, dtype=np.uint8)
+    )
     th = np.ascontiguousarray(thrs, dtype=np.float64)
     t = len(th)
     matched = np.zeros((t, d), np.uint8)
     ignored = np.zeros((t, d), np.uint8)
     lib.match_greedy(
         _ptr(iou.reshape(-1), ctypes.c_double), d, g,
-        _ptr(ign, ctypes.c_uint8),
+        _ptr(ign, ctypes.c_uint8), _ptr(crowd, ctypes.c_uint8),
         _ptr(th, ctypes.c_double), t,
         _ptr(matched.reshape(-1), ctypes.c_uint8),
         _ptr(ignored.reshape(-1), ctypes.c_uint8),

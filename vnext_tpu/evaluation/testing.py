@@ -1,0 +1,51 @@
+"""Result-verification helpers (reference surface:
+detectron2/evaluation/testing.py:31 verify_results, :64 flatten_results_dict).
+
+Used by the quick-schedule configs: cfg.TEST.EXPECTED_RESULTS is a list of
+``[task, metric, expected, tolerance]`` rows asserted against eval results.
+"""
+
+from __future__ import annotations
+
+import logging
+import pprint
+from typing import Dict, Mapping
+
+import numpy as np
+
+logger = logging.getLogger("vnext_tpu")
+
+
+def verify_results(cfg, results: Mapping[str, Mapping[str, float]]) -> bool:
+    expected_results = cfg.TEST.EXPECTED_RESULTS
+    if not len(expected_results):
+        return True
+    ok = True
+    for task, metric, expected, tolerance in expected_results:
+        actual = (results.get(task) or {}).get(metric)
+        if actual is None or not np.isfinite(actual):
+            ok = False
+            continue
+        if abs(actual - expected) > tolerance:
+            ok = False
+    if not ok:
+        logger.error("Result verification failed!")
+        logger.error("Expected Results: %s", expected_results)
+        logger.error("Actual Results: %s", pprint.pformat(results))
+        raise AssertionError(
+            f"Result verification failed: expected {expected_results}, got {results}"
+        )
+    logger.info("Results verified: %s", expected_results)
+    return True
+
+
+def flatten_results_dict(results: Mapping) -> Dict[str, float]:
+    """{'a': {'b': 1}} -> {'a/b': 1} (nested task/metric dicts to flat keys)."""
+    flat = {}
+    for k, v in results.items():
+        if isinstance(v, Mapping):
+            for fk, fv in flatten_results_dict(v).items():
+                flat[f"{k}/{fk}"] = fv
+        else:
+            flat[k] = v
+    return flat

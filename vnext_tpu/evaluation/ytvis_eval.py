@@ -132,8 +132,62 @@ def _normalize_gt(gt: dict) -> dict:
 
 
 def build_evaluator(cfg, dataset_name: str, output_dir: Optional[str] = None):
-    """Evaluator factory (reference surface: train_net.py Trainer.build_evaluator)."""
-    evaluator_type = MetadataCatalog.get(dataset_name).get("evaluator_type", "ytvis")
+    """Evaluator factory keyed on the dataset's ``evaluator_type`` metadata.
+
+    Mirrors the reference's per-type dispatch (tools/train_net.py:82
+    Trainer.build_evaluator), covering every evaluator this framework ships;
+    multiple evaluators for one dataset are combined with DatasetEvaluators.
+    """
+    meta = MetadataCatalog.get(dataset_name)
+    evaluator_type = meta.get("evaluator_type", "ytvis")
+    output_dir = output_dir or cfg.OUTPUT_DIR
+
     if evaluator_type == "ytvis":
-        return YTVISEvaluator(dataset_name, output_dir or cfg.OUTPUT_DIR)
-    raise NotImplementedError(f"Evaluator type {evaluator_type} not yet implemented")
+        return YTVISEvaluator(dataset_name, output_dir)
+    if evaluator_type in ("coco", "coco_panoptic_seg"):
+        from .coco_eval import COCOEvaluator
+        from .evaluator import DatasetEvaluators
+        from .panoptic_eval import COCOPanopticEvaluator
+
+        tasks = ("bbox", "segm") if cfg.MODEL.MASK_ON else ("bbox",)
+        evaluators = [COCOEvaluator(dataset_name, tasks=tasks, output_dir=output_dir)]
+        if evaluator_type == "coco_panoptic_seg":
+            thing_ids = set(
+                (meta.get("thing_dataset_id_to_contiguous_id") or {}).values()
+            ) or None
+            evaluators.append(COCOPanopticEvaluator(thing_ids=thing_ids))
+        return evaluators[0] if len(evaluators) == 1 else DatasetEvaluators(evaluators)
+    if evaluator_type == "lvis":
+        from .lvis_eval import LVISEvaluator
+
+        tasks = ("bbox", "segm") if cfg.MODEL.MASK_ON else ("bbox",)
+        return LVISEvaluator(dataset_name, tasks=tasks, output_dir=output_dir)
+    if evaluator_type == "sem_seg":
+        from .sem_seg_eval import SemSegEvaluator
+
+        return SemSegEvaluator(
+            num_classes=len(meta.get("stuff_classes") or []) or cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES,
+            ignore_label=meta.get("ignore_label", 255),
+        )
+    if evaluator_type == "pascal_voc":
+        from .pascal_voc_eval import PascalVOCDetectionEvaluator
+
+        return PascalVOCDetectionEvaluator(
+            class_names=list(meta.get("thing_classes") or []),
+            use_07_metric=meta.get("year", 2007) == 2007,
+        )
+    if evaluator_type == "cityscapes_instance":
+        from .cityscapes_eval import CityscapesInstanceEvaluator
+
+        return CityscapesInstanceEvaluator(class_names=meta.get("thing_classes"))
+    if evaluator_type == "cityscapes_sem_seg":
+        from .cityscapes_eval import CityscapesSemSegEvaluator
+
+        return CityscapesSemSegEvaluator(class_names=meta.get("stuff_classes"))
+    if evaluator_type == "rotated_coco":
+        from .rotated_coco_eval import RotatedCOCOEvaluator
+
+        return RotatedCOCOEvaluator(class_names=meta.get("thing_classes"))
+    raise NotImplementedError(
+        f"no evaluator for type {evaluator_type!r} (dataset {dataset_name})"
+    )

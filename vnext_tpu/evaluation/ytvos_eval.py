@@ -36,6 +36,26 @@ def _tube_area(segms: Sequence[Optional[dict]]) -> float:
     return area
 
 
+def _avg_area(segms: Sequence[Optional[dict]]) -> float:
+    """Mean per-frame mask area over frames where the mask is present.
+
+    Matches the reference's avg_area (ytvoseval.py:100-104 / ytvos.py:258-260):
+    frames with a missing or empty mask are excluded from the mean; 0 when the
+    tube is empty everywhere. Used for area-range binning of both GT and dets.
+    """
+    areas = []
+    for s in segms:
+        if s is None:
+            continue
+        counts = s["counts"]
+        if isinstance(counts, (str, bytes)):
+            counts = decompress_counts(counts)
+        a = float(sum(counts[1::2]))
+        if a:
+            areas.append(a)
+    return float(np.mean(areas)) if areas else 0.0
+
+
 def _rle_intersection_union(a: Optional[dict], b: Optional[dict]) -> (float, float):
     """(intersection, union) pixel counts of two RLE masks (either may be None)."""
     if a is None and b is None:
@@ -126,15 +146,26 @@ def _tube_iou_matrix(dt_anns, gt_anns) -> np.ndarray:
     return iou
 
 
-def _match_greedy(iou: np.ndarray, gt_ignore: np.ndarray, thrs: np.ndarray):
+def _match_greedy(
+    iou: np.ndarray,
+    gt_ignore: np.ndarray,
+    thrs: np.ndarray,
+    iscrowd: Optional[np.ndarray] = None,
+):
     """Greedy score-ordered matching at each threshold -> (matched, ignored)
     [T, D] bool. Dispatches to the C kernel (native.match_greedy_native, the
-    cocoeval.cpp MatchDetectionsToGt analogue) with this python fallback."""
+    cocoeval.cpp MatchDetectionsToGt analogue) with this python fallback.
+
+    Preconditions (pycocotools invariants, enforced by the caller): iou rows
+    score-sorted, GT columns sorted ignore-last. Only crowd GTs re-match.
+    """
     from . import native
 
     d, g = iou.shape
+    if iscrowd is None:
+        iscrowd = np.zeros(g, bool)
     if native.available():
-        return native.match_greedy_native(iou, gt_ignore, thrs)
+        return native.match_greedy_native(iou, gt_ignore, thrs, iscrowd)
     matched = np.zeros((len(thrs), d), bool)
     ignored = np.zeros((len(thrs), d), bool)
     for ti, thr in enumerate(thrs):
@@ -143,18 +174,17 @@ def _match_greedy(iou: np.ndarray, gt_ignore: np.ndarray, thrs: np.ndarray):
             best_iou = min(thr, 1 - 1e-10)
             best_gi = -1
             for gi in range(g):
-                if gt_matched[gi] and not gt_ignore[gi]:
+                if gt_matched[gi] and not iscrowd[gi]:
                     continue
                 if best_gi > -1 and not gt_ignore[best_gi] and gt_ignore[gi]:
-                    break  # prefer non-ignored matches (COCO rule)
+                    break  # prefer non-ignored matches (requires ignore-last sort)
                 if iou[di, gi] >= best_iou:
                     best_iou = iou[di, gi]
                     best_gi = gi
-            if best_gi > -1 and not gt_ignore[best_gi]:
-                matched[ti, di] = True
+            if best_gi > -1:
+                matched[ti, di] = not gt_ignore[best_gi]
+                ignored[ti, di] = bool(gt_ignore[best_gi])
                 gt_matched[best_gi] = True
-            elif best_gi > -1:
-                ignored[ti, di] = True
     return matched, ignored
 
 
@@ -210,21 +240,39 @@ class YTVOSeval:
                         dt_anns = sorted(
                             dts.get((vid, cat), []), key=lambda d: -d["score"]
                         )[:max_det]
+                        # avg per-frame area binning + ignore-last GT sort,
+                        # mirroring ytvoseval.py evaluateVid (_ignore, gtind)
                         gt_ignore = np.array(
                             [
                                 bool(g.get("iscrowd", 0))
-                                or not (arange[0] <= _tube_area(g["segmentations"]) < arange[1])
+                                or not (arange[0] <= _avg_area(g["segmentations"]) <= arange[1])
                                 for g in gt_anns
                             ],
                             bool,
+                        )
+                        order = np.argsort(gt_ignore, kind="stable")
+                        gt_anns = [gt_anns[i] for i in order]
+                        gt_ignore = gt_ignore[order]
+                        iscrowd = np.array(
+                            [bool(g.get("iscrowd", 0)) for g in gt_anns], bool
                         )
                         n_gt_total += int((~gt_ignore).sum())
                         if not dt_anns:
                             continue
                         iou = _tube_iou_matrix(dt_anns, gt_anns)
                         matched_td, ignored_td = _match_greedy(
-                            iou, gt_ignore, self.iou_thrs
+                            iou, gt_ignore, self.iou_thrs, iscrowd
                         )
+                        # unmatched detections outside the area range are
+                        # ignored, not FPs (ytvoseval.py:330-331 dtIg |= ...)
+                        dt_out = np.array(
+                            [
+                                not (arange[0] <= _avg_area(d["segmentations"]) <= arange[1])
+                                for d in dt_anns
+                            ],
+                            bool,
+                        )
+                        ignored_td = ignored_td | (~matched_td & dt_out[None, :])
                         for ti in range(T):
                             for di, d in enumerate(dt_anns):
                                 scores_all.append((d["score"], ti))

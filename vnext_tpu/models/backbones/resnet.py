@@ -115,8 +115,36 @@ class Bottleneck(nn.Module):
         return nn.relu(out + identity)
 
 
+class BasicBlock(nn.Module):
+    """3x3 -> 3x3 residual block for ResNet-18/34
+    (reference detectron2/modeling/backbone/resnet.py:100 BasicBlock)."""
+
+    out_channels: int
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        identity = x
+        conv_kwargs = dict(use_bias=False, dtype=self.dtype)
+        out = nn.Conv(self.out_channels, (3, 3), strides=(self.stride, self.stride),
+                      padding=[(1, 1), (1, 1)], name="conv1", **conv_kwargs)(x)
+        out = FrozenBatchNorm(self.out_channels, dtype=self.dtype, name="bn1")(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                      name="conv2", **conv_kwargs)(out)
+        out = FrozenBatchNorm(self.out_channels, dtype=self.dtype, name="bn2")(out)
+        if x.shape[-1] != self.out_channels or self.stride != 1:
+            identity = nn.Conv(self.out_channels, (1, 1),
+                               strides=(self.stride, self.stride),
+                               name="downsample_conv", **conv_kwargs)(x)
+            identity = FrozenBatchNorm(self.out_channels, dtype=self.dtype,
+                                       name="downsample_bn")(identity)
+        return nn.relu(out + identity)
+
+
 class ResNet(nn.Module):
-    """ResNet-{50,101,152} trunk producing res2..res5 (NHWC)."""
+    """ResNet-{18,34,50,101,152} trunk producing res2..res5 (NHWC)."""
 
     depth: int = 50
     out_features: Sequence[str] = ("res3", "res4", "res5")
@@ -137,12 +165,13 @@ class ResNet(nn.Module):
 
     @property
     def output_channels(self) -> Dict[str, int]:
+        if self.depth < 50:  # BasicBlock stages have no 4x expansion
+            return {"res2": 64, "res3": 128, "res4": 256, "res5": 512}
         return {"res2": 256, "res3": 512, "res4": 1024, "res5": 2048}
 
     @nn.compact
     def __call__(self, x: Array) -> Dict[str, Array]:
         blocks = _DEPTH_TO_BLOCKS[self.depth]
-        assert self.depth >= 50, "only bottleneck ResNets are supported"
 
         # stem
         x = nn.Conv(
@@ -154,9 +183,10 @@ class ResNet(nn.Module):
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
         outputs = {}
+        basic = self.depth < 50
         # torchvision/ResNeXt bottleneck width: planes * width_per_group/64 * groups
         mid = (64 * self.width_per_group // 64) * self.groups
-        out_ch = 256
+        out_ch = 64 if basic else 256
         for stage_idx, num_blocks in enumerate(blocks):
             stage_name = f"res{stage_idx + 2}"
             first_stride = 1 if stage_idx == 0 else 2
@@ -165,18 +195,26 @@ class ResNet(nn.Module):
                 first_stride = 1
                 dilation = 2
             for b in range(num_blocks):
-                x = Bottleneck(
-                    mid_channels=mid,
-                    out_channels=out_ch,
-                    stride=first_stride if b == 0 else 1,
-                    dilation=dilation,
-                    groups=self.groups,
-                    stride_in_1x1=self.stride_in_1x1,
-                    deform=self.deform_on_per_stage[stage_idx],
-                    deform_modulated=self.deform_modulated,
-                    dtype=self.dtype,
-                    name=f"layer{stage_idx + 1}_{b}",
-                )(x)
+                if basic:
+                    x = BasicBlock(
+                        out_channels=out_ch,
+                        stride=first_stride if b == 0 else 1,
+                        dtype=self.dtype,
+                        name=f"layer{stage_idx + 1}_{b}",
+                    )(x)
+                else:
+                    x = Bottleneck(
+                        mid_channels=mid,
+                        out_channels=out_ch,
+                        stride=first_stride if b == 0 else 1,
+                        dilation=dilation,
+                        groups=self.groups,
+                        stride_in_1x1=self.stride_in_1x1,
+                        deform=self.deform_on_per_stage[stage_idx],
+                        deform_modulated=self.deform_modulated,
+                        dtype=self.dtype,
+                        name=f"layer{stage_idx + 1}_{b}",
+                    )(x)
             outputs[stage_name] = x
             mid *= 2
             out_ch *= 2

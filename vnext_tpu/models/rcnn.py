@@ -122,10 +122,12 @@ class RPN(nn.Module):
         deltas_fg = jnp.take_along_axis(deltas, fg_sel[..., None], axis=1)
         diff = jnp.abs(deltas_fg - gt_deltas_fg)
         loc_loss = jnp.sum(diff.sum(-1) * fg_mask)
-        norm = jnp.maximum(jnp.sum(fg_mask) + jnp.sum(bg_mask), 1.0)
+        # reference rpn.py:421-426 normalizes BOTH losses by
+        # batch_size_per_image * num_images (not by the sampled/fg count)
+        norm = float(batch_per_image) * fg.shape[0]
         return {
             "loss_rpn_cls": obj_loss / norm,
-            "loss_rpn_loc": loc_loss / jnp.maximum(jnp.sum(fg_mask), 1.0),
+            "loss_rpn_loc": loc_loss / norm,
         }
 
 
@@ -358,15 +360,24 @@ class GeneralizedRCNN(nn.Module):
         box_deltas = head_out["box_deltas"].reshape(b, r, self.num_classes, 4)
 
         def per_image(prop, pr, bd, hw):
-            best = jnp.max(pr, -1)
-            cls = jnp.argmax(pr, -1)
-            deltas = jnp.take_along_axis(bd, cls[:, None, None], axis=1)[:, 0]
-            boxes = clip_boxes(self.box2box.apply_deltas(deltas, prop), (hw[0], hw[1]))
-            valid = best > self.test_score_thresh
-            keep = batched_nms_mask(boxes, best, cls, self.test_nms_thresh, valid=valid)
-            sc = jnp.where(keep, best, -1.0)
+            # fast_rcnn_inference semantics (reference fast_rcnn.py:462):
+            # every (proposal, class) pair is an independent candidate —
+            # fixed-shape version keeps the top 4*max_detections candidates
+            # of the flattened R*C score matrix before per-class NMS.
+            r, c = pr.shape
+            k = min(4 * self.max_detections, r * c)
+            top_sc, top_idx = jax.lax.top_k(pr.reshape(-1), k)
+            pi = top_idx // c
+            cls = top_idx % c
+            deltas = bd[pi, cls]                                   # [k, 4]
+            boxes = clip_boxes(
+                self.box2box.apply_deltas(deltas, prop[pi]), (hw[0], hw[1])
+            )
+            valid = top_sc > self.test_score_thresh
+            keep = batched_nms_mask(boxes, top_sc, cls, self.test_nms_thresh, valid=valid)
+            sc = jnp.where(keep, top_sc, -1.0)
             outv, outi = jax.lax.top_k(sc, self.max_detections)
-            return boxes[outi], outv, cls[outi], outv > 0, outi
+            return boxes[outi], outv, cls[outi], outv > 0, pi[outi]
 
         boxes, scores, classes, valid, det_idx = jax.vmap(per_image)(
             proposals, probs, box_deltas, image_sizes
