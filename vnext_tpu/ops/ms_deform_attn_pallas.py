@@ -4,32 +4,36 @@ Why a kernel: XLA lowers the op's 4-corner bilinear gather (millions of random
 32-float row reads per layer) to a sequential scalar loop on TPU — measured at
 ~560 ms per encoder layer on v5e for eval shapes, dominating inference. The
 gather-free XLA reformulation (ops/ms_deform_attn.py factorized path) reaches
-~75 ms/layer; this kernel reaches ~44 ms/layer.
+~75 ms/layer; the v5 dense kernel ~37 ms/layer; this blocked v6 kernel exploits
+sampling locality to skip untouched feature rows entirely.
 
 TPU-first reformulation (no gathers at all): bilinear sampling is separable, so
-for one feature level V in [H, W*D]:
+for one feature level V in [H, W, D]:
 
-    sample(q, p) = Rx[q,p] . (Ry[q,p] @ V)        # Ry: [H], Rx: [W] row selectors
+    sample(q, p) = Ry[q,p] . (V' @ Rx[q,p])      # Rx: [W], Ry: [H] selectors
 
 where Ry/Rx each have <= 2 nonzeros (the bilinear corner weights), built densely
 with iota comparisons. Out-of-bounds corners get zero weight, exactly
 reproducing grid_sample's zero padding (validated against ops/ms_deform_attn.py
 and the reference's own CUDA-vs-grid_sample test scheme, idol/models/ops/test.py:32).
 
-Layout choices (learned by ablation on v5e — see docs/ROUND1.md):
-- samples live on LANES (everything transposed): the kernel computes
-  u^T = V^T @ Ry^T as one MXU matmul with full-lane outputs;
-- the column interpolation is a sublane-iota masked multiply;
-- the W-group reduction runs as W static SUBLANE slices accumulated with
-  native full-lane adds — the naive [TQP, W*D] @ [W*D, D] group-sum matmul is
-  N=32-lane-starved and alone cost ~37 ms/layer;
-- the P-point reduction is a tiny constant matmul.
+v6 blocked layout (this file):
+- the x-interpolation is the MXU matmul: u = Vblk[(HB*D), W] @ Rx[W, TQP], with
+  the W axis as the contraction dim (K=W keeps the systolic pipeline busy) and
+  Vblk restricted to an HB-row block of the level;
+- the y-interpolation (+ attention weighting) is HB static sublane slices
+  accumulated with native full-lane multiply-adds on the VPU, in f32;
+- the P-point reduction is a tiny constant matmul applied once per query tile;
+- **blocked H with scalar prefetch**: queries are spatially ordered (encoder
+  queries ARE the feature-map pixels) and deformable offsets are local in
+  trained models, so a 256-query tile touches only 1-2 of the NB row-blocks.
+  A host-side pass computes, per (batch*head, tile), the list of touched block
+  ids; the grid's inner dimension walks that list (padded by repeating the last
+  entry so Pallas elides the duplicate DMA) and predicates compute with
+  `j < n_blocks`. Exact for arbitrary offsets — an adversarial offset pattern
+  touches all NB blocks and simply runs at the unblocked speed.
 - Mosaic constraints honored: integer iota only, no lane<->sublane reshapes
   ((q, p) arrives pre-flattened), no dynamic slices in-kernel.
-
-Backward: custom_vjp delegating to the XLA factorized path's autodiff (already
-remat-optimized for training); a dedicated backward kernel (transposed matmuls)
-is the remaining optimization.
 """
 
 from __future__ import annotations
@@ -39,112 +43,182 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 Array = jnp.ndarray
 
-_VMEM_BUDGET = 15 * 1024 * 1024  # bytes for the u^T intermediate (16 MB scoped cap)
+_VMEM_BUDGET = 12 * 1024 * 1024  # bytes for the u intermediate (16 MB scoped cap)
 
 
-def _choose_tile(p: int, w: int, d: int) -> int:
-    """Query tile TQ such that the [W*D, TQ*P] f32 intermediate fits VMEM."""
+def _choose_tile(p: int, hb: int, d: int) -> int:
+    """Query tile TQ such that the [HB*D, TQ*P] f32 intermediate fits VMEM."""
     tq = 256
-    while tq > 8 and w * d * tq * p * 4 > _VMEM_BUDGET:
+    while tq > 8 and hb * d * tq * p * 4 > _VMEM_BUDGET:
         tq //= 2
     return tq
 
 
-def _level_kernel(loc_ref, w_ref, value_ref, g3_ref, out_ref, *, H, W, D, P, TQ):
-    """One (bm, query-tile) program; transposed layout (samples on lanes).
+def _blocked_kernel(
+    ids_ref, n_ref, loc_ref, w_ref, value_ref, g3_ref, out_ref, acc_ref,
+    *, H, W, D, P, TQ, HB, NB,
+):
+    """One (bm, query-tile, block) program.
 
-    loc_ref: [1, 2, TQ*P]   normalized sampling locations, (q, p) pre-flattened
-    w_ref:   [1, 1, TQ*P]   attention weights
-    value_ref: [1, W*D, H]  level features, transposed
-    g3_ref:  [TQ*P, TQ]     constant 0/1 point-sum matrix (i // P == j)
-    out_ref: [1, D, TQ]     weighted sampled output (transposed)
+    ids_ref: [BM*T*NB] scalar-prefetch (flat — SMEM pads trailing dims to 128
+             lanes, so multi-dim layouts blow the 1 MB SMEM budget) — touched
+             block ids, needed-first, padded by repeating the last needed id
+             (DMA of repeats is elided)
+    n_ref:   [BM*T] scalar-prefetch — number of needed blocks per tile
+    loc_ref: [1, 2, TQ*P]    normalized sampling locations, (q, p) pre-flattened
+    w_ref:   [1, 1, TQ*P]    attention weights
+    value_ref: [1, HB*D, W]  one H-block of level features, (h, d) on sublanes
+    g3_ref:  [TQ*P, TQ]      constant 0/1 point-sum matrix (i // P == j)
+    out_ref: [1, D, TQ]      weighted sampled output (transposed)
+    acc_ref: [D, TQ*P] f32 scratch — accumulates across the block dimension
     """
-    loc = loc_ref[0].astype(jnp.float32)          # [2, TQP]
-    attn_row = w_ref[0].astype(jnp.float32)       # [1, TQP]
-    x = loc[0:1] * W - 0.5                        # [1, TQP]
-    y = loc[1:2] * H - 0.5
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    tx = x - x0
-    ty = y - y0
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    j = pl.program_id(2)
+    T = pl.num_programs(1)
+    n = n_ref[b * T + t]
 
-    # Mosaic requires integer iota; compare in int space (y0 is floor()ed so the
-    # cast is exact in range; the guard only kills extreme samples — y0 == -1
-    # must still contribute its (y0 + 1 == 0) corner like a float comparison)
-    iota_h = jax.lax.broadcasted_iota(jnp.int32, (H, TQ * P), 0)
-    y0i = y0.astype(jnp.int32)
-    ooby = (y0 < -1e6) | (y0 > 1e6)
-    ryT = jnp.where((iota_h == y0i) & ~ooby, 1.0 - ty, 0.0) + jnp.where(
-        (iota_h == y0i + 1) & ~ooby, ty, 0.0
-    )                                             # [H, TQP]
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    vT = value_ref[0]                             # [W*D, H]
-    uT = jnp.dot(vT, ryT.astype(vT.dtype), preferred_element_type=jnp.float32)
+    @pl.when(j < n)
+    def _():
+        h0 = ids_ref[(b * T + t) * NB + j] * HB
+        loc = loc_ref[0].astype(jnp.float32)      # [2, TQP]
+        attn_row = w_ref[0].astype(jnp.float32)   # [1, TQP]
+        x = loc[0:1] * W - 0.5                    # [1, TQP]
+        y = loc[1:2] * H - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        tx = x - x0
+        ty = y - y0
 
-    # small [W, TQP] column selector — applied per slice inside the reduction
-    # loop (building the full [W*D, TQP] rxT costs ~8 ms/layer of pure VPU)
-    iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, TQ * P), 0)
-    x0i = x0.astype(jnp.int32)
-    oobx = (x0 < -1e6) | (x0 > 1e6)
-    rxw = (
-        jnp.where((iota_w == x0i) & ~oobx, 1.0 - tx, 0.0)
-        + jnp.where((iota_w == x0i + 1) & ~oobx, tx, 0.0)
-    ) * attn_row                                  # [W, TQP]
+        # Mosaic requires integer iota; compare in int space (x0 is floor()ed so
+        # the cast is exact in range; the guard only kills extreme samples —
+        # x0 == -1 must still contribute its (x0 + 1 == 0) corner)
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, TQ * P), 0)
+        x0i = x0.astype(jnp.int32)
+        oobx = (x0 < -1e6) | (x0 > 1e6)
+        rx = jnp.where((iota_w == x0i) & ~oobx, 1.0 - tx, 0.0) + jnp.where(
+            (iota_w == x0i + 1) & ~oobx, tx, 0.0
+        )                                         # [W, TQP]
 
-    # W-group reduction: static sublane slices, native full-lane multiply-adds
-    sampT = rxw[0:1, :] * uT[0:D, :]
-    for w in range(1, W):
-        sampT = sampT + rxw[w : w + 1, :] * uT[w * D : (w + 1) * D, :]   # [D, TQP]
+        vblk = value_ref[0]                       # [HB*D, W]
+        u = jnp.dot(vblk, rx.astype(vblk.dtype), preferred_element_type=jnp.float32)
 
-    outT = jnp.dot(sampT, g3_ref[:].astype(jnp.float32),
-                   preferred_element_type=jnp.float32)   # [D, TQ]
-    out_ref[0] = outT.astype(out_ref.dtype)
+        # y corner weights within this block, attention folded in (f32 VPU side)
+        iota_hb = jax.lax.broadcasted_iota(jnp.int32, (HB, TQ * P), 0) + h0
+        y0i = y0.astype(jnp.int32)
+        ooby = (y0 < -1e6) | (y0 > 1e6)
+        ryw = (
+            jnp.where((iota_hb == y0i) & ~ooby, 1.0 - ty, 0.0)
+            + jnp.where((iota_hb == y0i + 1) & ~ooby, ty, 0.0)
+        ) * attn_row                              # [HB, TQP]
+
+        s = ryw[0:1, :] * u[0:D, :]
+        for h in range(1, HB):
+            s = s + ryw[h : h + 1, :] * u[h * D : (h + 1) * D, :]   # [D, TQP]
+        acc_ref[:] += s
+
+    @pl.when(j == NB - 1)
+    def _():
+        out_ref[0] = jnp.dot(
+            acc_ref[:], g3_ref[:].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ).astype(out_ref.dtype)                   # [D, TQ]
+
+
+def _block_schedule(y: Array, H: int, HB: int, NB: int, tq: int, p: int):
+    """Touched-block bookkeeping on host (cheap XLA ops).
+
+    y: [BM, Q_pad, P] sampling rows in pixel space (already * H - 0.5).
+    Returns ids [BM, T, NB] int32 (needed-first, padded with the last needed id
+    so repeated DMAs are elided) and n [BM, T] int32.
+    """
+    bm, q_pad, _ = y.shape
+    t = q_pad // tq
+    y0 = jnp.floor(jnp.clip(y, -2.0 * H - 4, 2.0 * H + 4)).astype(jnp.int32)
+    rows = jnp.stack([y0, y0 + 1], axis=-1).reshape(bm, t, tq * p * 2)
+    valid = (rows >= 0) & (rows < H)
+    blk = jnp.where(valid, rows // HB, -1)
+    needed = (blk[..., None] == jnp.arange(NB)[None, None, None, :]).any(axis=2)
+    n = needed.sum(-1).astype(jnp.int32)          # [BM, T]
+    order = jnp.argsort(~needed, axis=-1, stable=True).astype(jnp.int32)
+    take = jnp.minimum(jnp.arange(NB)[None, None, :], jnp.maximum(n - 1, 0)[..., None])
+    ids = jnp.take_along_axis(order, take, axis=-1)
+    return ids.reshape(-1), n.reshape(-1)
 
 
 def _sample_level(value_l: Array, loc_l: Array, w_l: Array, H: int, W: int) -> Array:
     """value_l: [BM, H, W*D]; loc_l: [BM, Q, P, 2]; w_l: [BM, Q, P] -> [BM, Q, D]."""
+    import os
+
     bm, q, p, _ = loc_l.shape
     d = value_l.shape[-1] // W
-    tq = _choose_tile(p, W, d)
+
+    hb = min(int(os.environ.get("VNEXT_MSDA_HB", "16")), ((H + 7) // 8) * 8)
+    nb = (H + hb - 1) // hb
+    h_pad = nb * hb
+    tq = min(_choose_tile(p, hb, d), int(os.environ.get("VNEXT_MSDA_TQ", "256")))
     q_pad = ((q + tq - 1) // tq) * tq
     if q_pad != q:
         loc_l = jnp.pad(loc_l, ((0, 0), (0, q_pad - q), (0, 0), (0, 0)), constant_values=0.5)
         w_l = jnp.pad(w_l, ((0, 0), (0, q_pad - q), (0, 0)))
-
-    kernel = functools.partial(_level_kernel, H=H, W=W, D=d, P=p, TQ=tq)
-    flops = 2 * bm * q_pad * p * H * W * d
-
-    import numpy as np
+    t = q_pad // tq
 
     g3 = jnp.asarray(
         ((np.arange(tq * p)[:, None] // p) == np.arange(tq)[None, :]).astype(np.float32)
     )  # [TQ*P, TQ]
 
+    # (h, d) on sublanes, w on lanes: [BM, H, W, D] -> [BM, H*D, W], zero-padded rows
+    v_x = jnp.swapaxes(value_l.reshape(bm, H, W, d), 2, 3).reshape(bm, H * d, W)
+    if h_pad != H:
+        v_x = jnp.pad(v_x, ((0, 0), (0, (h_pad - H) * d), (0, 0)))
+
     # transposed host-side layouts (XLA transposes, cheap) + pre-flattened (q, p)
     loc_T = jnp.swapaxes(loc_l.reshape(bm, q_pad * p, 2), 1, 2)
     w_T = jnp.swapaxes(w_l.reshape(bm, q_pad * p, 1), 1, 2)
-    v_T = jnp.swapaxes(value_l, 1, 2)             # [BM, W*D, H]
+
+    ids, n = _block_schedule(loc_l[..., 1] * H - 0.5, H, hb, nb, tq, p)
+
+    kernel = functools.partial(
+        _blocked_kernel, H=H, W=W, D=d, P=p, TQ=tq, HB=hb, NB=nb
+    )
+    # average-case cost: locality makes ~2 blocks/tile typical
+    flops = 2 * bm * t * min(nb, 2) * hb * d * W * tq * p
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(bm, t, nb),
+        in_specs=[
+            pl.BlockSpec((1, 2, tq * p), lambda b, ti, j, ids_r, n_r: (b, 0, ti)),
+            pl.BlockSpec((1, 1, tq * p), lambda b, ti, j, ids_r, n_r: (b, 0, ti)),
+            pl.BlockSpec(
+                (1, hb * d, W),
+                lambda b, ti, j, ids_r, n_r: (b, ids_r[(b * t + ti) * nb + j], 0),
+            ),
+            pl.BlockSpec((tq * p, tq), lambda b, ti, j, ids_r, n_r: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, d, tq), lambda b, ti, j, ids_r, n_r: (b, 0, ti)),
+        scratch_shapes=[pltpu.VMEM((d, tq * p), jnp.float32)],
+    )
 
     out = pl.pallas_call(
         kernel,
-        grid=(bm, q_pad // tq),
-        in_specs=[
-            pl.BlockSpec((1, 2, tq * p), lambda b, t: (b, 0, t)),
-            pl.BlockSpec((1, 1, tq * p), lambda b, t: (b, 0, t)),
-            pl.BlockSpec((1, W * d, H), lambda b, t: (b, 0, 0)),
-            pl.BlockSpec((tq * p, tq), lambda b, t: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, d, tq), lambda b, t: (b, 0, t)),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bm, d, q_pad), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=value_l.size * 2 + loc_l.size * 4, transcendentals=0
         ),
         interpret=jax.default_backend() != "tpu",  # CPU tests run interpreted
-    )(loc_T, w_T, v_T, g3)
+    )(ids, n, loc_T, w_T, v_x, g3)
     return jnp.swapaxes(out, 1, 2)[:, :q]
 
 
