@@ -137,7 +137,16 @@ class IDOL(nn.Module):
     def extract_features(self, images: Array, image_sizes: Array):
         """images: [B, H, W, 3] normalized; image_sizes: [B, 2] true (h, w)."""
         feats = self.backbone(images)
-        base = [feats["res3"], feats["res4"], feats["res5"]]
+        return self.project_features(
+            [feats["res3"], feats["res4"], feats["res5"]], image_sizes
+        )
+
+    def project_features(self, base: List[Array], image_sizes: Array):
+        """Multi-level projection from backbone features [res3, res4, res5].
+
+        Split from extract_features so tests (and alternative backbones) can
+        inject features at the backbone boundary.
+        """
         srcs, valid_hw, poses = [], [], []
         for lvl in range(self.num_feature_levels):
             if lvl < 3:
@@ -159,9 +168,14 @@ class IDOL(nn.Module):
             poses.append(pos)
         return srcs, valid_hw, poses
 
-    def forward_single(self, images: Array, image_sizes: Array, train: bool):
+    def forward_single(
+        self, images: Array, image_sizes: Array, train: bool, base_feats=None
+    ):
         """Backbone + transformer + per-layer class/box predictions for one frame batch."""
-        srcs, valid_hw, poses = self.extract_features(images, image_sizes)
+        if base_feats is None:
+            srcs, valid_hw, poses = self.extract_features(images, image_sizes)
+        else:
+            srcs, valid_hw, poses = self.project_features(base_feats, image_sizes)
         spatial_shapes = tuple((int(s.shape[1]), int(s.shape[2])) for s in srcs)
         hs, memory, init_ref, inter_refs, out_coords = self.transformer(
             srcs, valid_hw, poses, self.query_embed, train=train
@@ -270,14 +284,16 @@ class IDOL(nn.Module):
         return losses
 
     # ------------------------------------------------------------------ inference
-    def inference(self, images: Array, image_sizes: Array) -> Dict[str, Array]:
+    def inference(
+        self, images: Array, image_sizes: Array, base_feats=None
+    ) -> Dict[str, Array]:
         """Per-clip forward (reference: segmentation_condInst.py:234 inference_forward).
 
         images: [T, H, W, 3] — frames of one video clip as the batch dimension.
         Returns pred_logits [T, Q, C], pred_boxes [T, Q, 4], pred_inst_embed
         [T, Q, C'], pred_masks [T, Q, H/4, W/4].
         """
-        out = self.forward_single(images, image_sizes, train=False)
+        out = self.forward_single(images, image_sizes, train=False, base_feats=base_feats)
         logits = out["logits"][-1]
         boxes = out["boxes"][-1]
         inst_embed = self.reid_embed(out["hs"][-1])
