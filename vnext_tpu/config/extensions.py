@@ -130,3 +130,51 @@ def _add_swin_config(cfg: CN) -> None:
     cfg.MODEL.SWIN.APE = False
     cfg.MODEL.SWIN.PATCH_NORM = True
     cfg.MODEL.SWIN.USE_CHECKPOINT = False
+
+
+def add_maskformer_config(cfg: CN) -> None:
+    """MinVIS/Mask2Former + InstMove keys (reference
+    projects/InstMove/MinVIS_motion/minvis/config.py + mask2former/config.py,
+    MODEL.MASK_FORMER.* subset actually consumed by the models)."""
+    if "SAMPLING_FRAME_NUM" not in cfg.INPUT:
+        cfg.INPUT.SAMPLING_FRAME_NUM = 2
+        cfg.INPUT.SAMPLING_FRAME_RANGE = 10
+        cfg.INPUT.SAMPLING_INTERVAL = 1
+        cfg.INPUT.SAMPLING_FRAME_SHUFFLE = False
+        cfg.INPUT.AUGMENTATIONS = []
+        cfg.INPUT.COCO_PRETRAIN = False
+        cfg.INPUT.PRETRAIN_SAME_CROP = False
+
+    cfg.MODEL.MASK_FORMER = CN()
+    cfg.MODEL.MASK_FORMER.NUM_CLASSES = 40
+    cfg.MODEL.MASK_FORMER.HIDDEN_DIM = 256
+    cfg.MODEL.MASK_FORMER.NUM_OBJECT_QUERIES = 100
+    cfg.MODEL.MASK_FORMER.NHEADS = 8
+    cfg.MODEL.MASK_FORMER.DIM_FEEDFORWARD = 2048
+    cfg.MODEL.MASK_FORMER.ENC_LAYERS = 6       # pixel-decoder MSDA layers
+    cfg.MODEL.MASK_FORMER.DEC_LAYERS = 9       # masked-attention decoder layers
+    cfg.MODEL.MASK_FORMER.NO_OBJECT_WEIGHT = 0.1
+    cfg.MODEL.MASK_FORMER.CLASS_WEIGHT = 2.0
+    cfg.MODEL.MASK_FORMER.MASK_WEIGHT = 5.0
+    cfg.MODEL.MASK_FORMER.DICE_WEIGHT = 5.0
+    cfg.MODEL.MASK_FORMER.DEEP_SUPERVISION = True
+    cfg.MODEL.MASK_FORMER.TRAIN_NUM_POINTS = 112 * 112
+    cfg.MODEL.MASK_FORMER.SIZE_DIVISIBILITY = 32
+    cfg.MODEL.MASK_FORMER.TEST = CN()
+    cfg.MODEL.MASK_FORMER.TEST.WINDOW_INFERENCE = True
+    cfg.MODEL.MASK_FORMER.TEST.WINDOW_SIZE = 3
+    cfg.MODEL.MASK_FORMER.TEST.OBJECT_MASK_THRESHOLD = 0.8
+    cfg.MODEL.MASK_FORMER.TEST.OVERLAP_THRESHOLD = 0.8
+
+    # InstMove motion predictor (reference motion_models/model_withImgR6.py)
+    cfg.MODEL.INSTMOVE = CN()
+    cfg.MODEL.INSTMOVE.ENABLED = False
+    cfg.MODEL.INSTMOVE.MEMORY_SIZE = 100
+    cfg.MODEL.INSTMOVE.LSTM_LAYERS = 4
+    cfg.MODEL.INSTMOVE.LSTM_CHANNELS = 128
+    cfg.MODEL.INSTMOVE.SEQ_LEN = 4             # past masks fed to the predictor
+    cfg.MODEL.INSTMOVE.WEIGHTS = ""
+    cfg.MODEL.INSTMOVE.MASK_SIZE = [192, 192]  # training crop for mask sequences
+
+    _add_swin_config(cfg)
+    cfg.FIND_UNUSED_PARAMETERS = True

@@ -69,9 +69,16 @@ def build_model(cfg):
                                fpn_channels=cfg.MODEL.FPN.OUT_CHANNELS,
                                proposals_per_image=cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN)
 
+    def _maskformer(cfg):
+        from .mask2former import build_maskformer_model
+
+        return build_maskformer_model(cfg)
+
     builder = {
         "IDOL": build_idol_model,
         "SeqFormer": build_seqformer_model,
+        "MaskFormer": _maskformer,
+        "VideoMaskFormer_frame": _maskformer,  # reference minvis registry name
         "GeneralizedRCNN": _build_rcnn,
         "PanopticFPN": lambda c: _build_rcnn(c, panoptic=True),
         "ProposalNetwork": _proposal,

@@ -253,3 +253,23 @@ def motion_match_cost(pred_masks: Array, cand_masks: Array, eps: float = 1e-6) -
     inter = p @ c.T
     union = p.sum(1)[:, None] + c.sum(1)[None] - inter
     return 1.0 - (inter + eps) / (union + eps)
+
+
+def instmove_loss(pred_logits: Array, gt_masks: Array, eps: float = 1.0) -> Dict[str, Array]:
+    """InstMove training loss: BCE + dice on the predicted next-frame masks.
+
+    Reference: projects/InstMove train recipe (model_withImgR6 trained with
+    mask BCE + soft-dice against the ground-truth next mask).
+
+    pred_logits: [B, T_out, H, W, 1]; gt_masks: same shape, {0, 1}.
+    """
+    gt = gt_masks.astype(jnp.float32)
+    x = pred_logits.astype(jnp.float32)
+    bce = jnp.maximum(x, 0) - x * gt + jnp.log1p(jnp.exp(-jnp.abs(x)))
+    p = jax.nn.sigmoid(x)
+    flat_p = p.reshape(p.shape[0], -1)
+    flat_g = gt.reshape(gt.shape[0], -1)
+    inter = jnp.sum(flat_p * flat_g, -1)
+    denom = jnp.sum(flat_p, -1) + jnp.sum(flat_g, -1)
+    dice = 1.0 - (2 * inter + eps) / (denom + eps)
+    return {"loss_mask": jnp.mean(bce), "loss_dice": jnp.mean(dice)}

@@ -384,3 +384,37 @@ def minvis_postprocess(outputs: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         out_m.append(masks[f][perm])
         prev = embds[f][perm]
     return {"pred_logits": np.stack(out_l), "pred_masks": np.stack(out_m)}
+
+
+def build_maskformer_model(cfg, dtype=None) -> MaskFormer:
+    """Construct MaskFormer from a CfgNode (reference maskformer_model.py from_config)."""
+    import jax.numpy as jnp
+
+    if dtype is None:
+        dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+    m = cfg.MODEL.MASK_FORMER
+    return MaskFormer(
+        num_classes=m.NUM_CLASSES,
+        hidden_dim=m.HIDDEN_DIM,
+        num_queries=m.NUM_OBJECT_QUERIES,
+        dec_layers=m.DEC_LAYERS,
+        enc_layers=m.ENC_LAYERS,
+        dim_feedforward=m.DIM_FEEDFORWARD,
+        backbone_depth=cfg.MODEL.RESNETS.DEPTH,
+        no_object_weight=m.NO_OBJECT_WEIGHT,
+        deep_supervision=m.DEEP_SUPERVISION,
+        num_points=m.TRAIN_NUM_POINTS,
+        dtype=dtype,
+        msda_impl=cfg.TPU.MSDA_IMPL,
+    )
+
+
+def maskformer_weight_dict(cfg) -> dict:
+    """Per-loss weights incl. deep-supervision aux terms (reference criterion wiring)."""
+    m = cfg.MODEL.MASK_FORMER
+    base = {"loss_ce": m.CLASS_WEIGHT, "loss_mask": m.MASK_WEIGHT, "loss_dice": m.DICE_WEIGHT}
+    out = dict(base)
+    if m.DEEP_SUPERVISION:
+        for i in range(m.DEC_LAYERS - 1):
+            out.update({f"{k}_{i}": v for k, v in base.items()})
+    return out
