@@ -67,7 +67,13 @@ class YTVISEvaluator(DatasetEvaluator):
                 segms = []
                 for m in inst_masks:
                     if m is None:
-                        segms.append(None)
+                        # reference encodes an all-zero full-size mask for
+                        # absent frames (ytvis_eval.py:197-200), not null
+                        segms.append(
+                            rle_encode(
+                                np.zeros((record["height"], record["width"]), bool)
+                            )
+                        )
                     else:
                         segms.append(rle_encode(np.asarray(m, bool)))
                 category_id = (
