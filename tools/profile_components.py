@@ -1,9 +1,12 @@
 #!/usr/bin/env python
 """Per-component TPU timing for the IDOL inference path.
 
-Times each stage separately (backbone, input projections, encoder, decoder,
-mask-feature tower, dynamic mask head, full pipeline) on real eval shapes, to
-locate the throughput bottleneck.
+Uses the chained-scan pattern (each iteration feeds a tiny function of the
+previous output back into the input) so remote-TPU async dispatch cannot fake
+the timings — plain block_until_ready on axon handles misleads.
+
+Stages are cumulative; differences give per-stage cost:
+  backbone -> +proj/pos (features) -> +encoder/decoder (fwd_single) -> full
 """
 
 import sys, os, time, json
@@ -19,18 +22,38 @@ from vnext_tpu.models.idol import build_idol_model
 from vnext_tpu.config import get_cfg, add_idol_config
 
 T, H, W = 10, 480, 864
+REPS = 6
 
 
-def timeit(fn, *args, iters=5, name=""):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.time()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / iters
-    print(f"{name:28s} {dt * 1000:9.1f} ms", flush=True)
-    return out, dt
+def chained(model, params, frames, sizes, stage, reps=REPS):
+    def run_stage(m, x):
+        if stage == "backbone":
+            return m.backbone(x)["res5"]
+        if stage == "features":
+            srcs, _, _ = m.extract_features(x, sizes)
+            return srcs[0]
+        if stage == "fwd_single":
+            out = m.forward_single(x, sizes, train=False)
+            return out["logits"][-1]
+        out = m.inference(x, sizes)
+        return out["pred_logits"]
+
+    @jax.jit
+    def run(x):
+        def body(carry, _):
+            out = model.apply({"params": params}, carry,
+                              method=lambda m, c: run_stage(m, c))
+            fb = (jnp.sum(out.astype(jnp.float32)) * 1e-12).astype(carry.dtype)
+            return carry + fb, jnp.sum(out).astype(jnp.float32)
+
+        final, s = jax.lax.scan(body, x, None, length=reps)
+        return jnp.sum(s)
+
+    t0 = time.time(); float(run(frames)); compile_s = time.time() - t0
+    t0 = time.time(); float(run(frames)); run_s = time.time() - t0
+    ms = run_s / reps * 1000
+    print(f"{stage:14s} {ms:9.1f} ms  (compile {compile_s:.0f}s)", flush=True)
+    return ms
 
 
 def main():
@@ -47,53 +70,19 @@ def main():
     t0 = time.time()
     params = jax.jit(
         lambda: model.init(
-            {"params": jax.random.PRNGKey(0)}, frames[:1], sizes[:1], method=IDOL.inference
+            {"params": jax.random.PRNGKey(0)}, frames[:1], sizes[:1],
+            method=IDOL.inference,
         )["params"]
     )()
     jax.block_until_ready(params)
     print(f"init {time.time() - t0:.1f}s", flush=True)
 
-    # ---- stage closures via Module.apply(method=...)
-    def backbone_only(p, x):
-        return model.apply({"params": p}, x, method=lambda m, x: m.backbone(x))
-
-    def features(p, x, s):
-        return model.apply({"params": p}, x, s, method=IDOL.extract_features)
-
-    def fwd_single(p, x, s):
-        return model.apply(
-            {"params": p}, x, s, False, method=IDOL.forward_single
-        )
-
-    def full(p, x, s):
-        return model.apply({"params": p}, x, s, method=IDOL.inference)
-
-    def mask_part(p, x, s):
-        def run(m, x, s):
-            out = m.forward_single(x, s, False)
-            mask_feats = m._mask_features(out["memory"], out["spatial_shapes"])
-            from vnext_tpu.models.condinst import run_dynamic_mask_head
-
-            pars = m.controller(out["hs"][-1])
-            ref = out["pre_refs"][-1] * s[:, ::-1].astype(jnp.float32)[:, None, :]
-            return run_dynamic_mask_head(mask_feats, ref, pars)
-
-        return model.apply({"params": p}, x, s, method=run)
-
-    fb = jax.jit(backbone_only)
-    ff = jax.jit(features)
-    fs = jax.jit(fwd_single)
-    fm = jax.jit(mask_part)
-    fa = jax.jit(full)
-
-    results = {}
-    print("compiling+timing backbone...", flush=True)
-    _, results["backbone"] = timeit(fb, params, frames, name="backbone (10f)")
-    _, results["features"] = timeit(ff, params, frames, sizes, name="backbone+proj+pos")
-    _, results["fwd_single"] = timeit(fs, params, frames, sizes, name="+ transformer enc/dec")
-    _, results["mask"] = timeit(fm, params, frames, sizes, name="+ mask head (all queries)")
-    _, results["full"] = timeit(fa, params, frames, sizes, name="full inference")
-    print(json.dumps({k: round(v * 1000, 1) for k, v in results.items()}))
+    res = {}
+    for stage in ("backbone", "features", "fwd_single", "full"):
+        res[stage] = chained(model, params, frames, sizes, stage)
+    res["enc_dec"] = res["fwd_single"] - res["features"]
+    res["heads"] = res["full"] - res["fwd_single"]
+    print(json.dumps({k: round(v, 1) for k, v in res.items()}), flush=True)
 
 
 if __name__ == "__main__":

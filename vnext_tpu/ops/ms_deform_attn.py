@@ -194,9 +194,9 @@ def ms_deform_attn(
 
         return ms_deform_attn_pallas(value, spatial_shapes, sampling_locations, attention_weights)
     if impl == "auto" and jax.default_backend() == "tpu":
-        # 'auto' on TPU picks the Pallas kernel (44 ms vs 75 ms per encoder
+        # 'auto' on TPU picks the Pallas kernel (19.8 ms vs 75 ms per encoder
         # layer for the factorized XLA form at eval shapes; identical math,
-        # backward delegates to the factorized path's remat'd autodiff).
+        # with dedicated Pallas backward kernels for dV/dLoc/dAttn).
         from .ms_deform_attn_pallas import ms_deform_attn_pallas
 
         return ms_deform_attn_pallas(value, spatial_shapes, sampling_locations, attention_weights)

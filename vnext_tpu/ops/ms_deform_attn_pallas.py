@@ -34,6 +34,11 @@ v6 blocked layout (this file):
   touches all NB blocks and simply runs at the unblocked speed.
 - Mosaic constraints honored: integer iota only, no lane<->sublane reshapes
   ((q, p) arrives pre-flattened), no dynamic slices in-kernel.
+
+Backward: two dedicated kernels mirroring the reference's
+ms_deform_im2col_cuda.cuh:238-302 backward — a tile-major pass recomputing u
+plus a derivative-selector matmul for dLoc/dAttn, and a block-major pass
+(dV block resident in VMEM across the tile sweep) for dValue.
 """
 
 from __future__ import annotations
@@ -222,6 +227,271 @@ def _sample_level(value_l: Array, loc_l: Array, w_l: Array, H: int, W: int) -> A
     return jnp.swapaxes(out, 1, 2)[:, :q]
 
 
+def _bwd_la_kernel(
+    ids_ref, n_ref, loc_ref, w_ref, value_ref, g_ref, g3_ref,
+    dloc_ref, dattn_ref, dx_acc, dy_acc, da_acc,
+    *, H, W, D, P, TQ, HB, NB,
+):
+    """Backward kernel 1 (tile-major): dLoc and dAttn.
+
+    Per (bm, tile, block) visit, recompute u = Vblk @ Rx plus the derivative
+    pass u' = Vblk @ dRx/dx (reference backward's derivative selectors:
+    ms_deform_im2col_cuda.cuh:238-302), then reduce on the VPU:
+        dAttn = sum_d s_pre * dOut        (s_pre: attn-free forward)
+        dx    = attn * W * sum_d (Ry . u') * dOut
+        dy    = attn * H * sum_d (dRy/dy . u) * dOut
+    g_ref: [1, D, TQ] output cotangent (pre P-broadcast).
+    """
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    j = pl.program_id(2)
+    T = pl.num_programs(1)
+    n = n_ref[b * T + t]
+
+    @pl.when(j == 0)
+    def _():
+        dx_acc[:] = jnp.zeros_like(dx_acc)
+        dy_acc[:] = jnp.zeros_like(dy_acc)
+        da_acc[:] = jnp.zeros_like(da_acc)
+
+    @pl.when(j < n)
+    def _():
+        h0 = ids_ref[(b * T + t) * NB + j] * HB
+        loc = loc_ref[0].astype(jnp.float32)
+        x = loc[0:1] * W - 0.5
+        y = loc[1:2] * H - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        tx = x - x0
+        ty = y - y0
+
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, TQ * P), 0)
+        x0i = x0.astype(jnp.int32)
+        oobx = (x0 < -1e6) | (x0 > 1e6)
+        at_x0 = (iota_w == x0i) & ~oobx
+        at_x1 = (iota_w == x0i + 1) & ~oobx
+        rx = jnp.where(at_x0, 1.0 - tx, 0.0) + jnp.where(at_x1, tx, 0.0)
+        drx = jnp.where(at_x1, 1.0, 0.0) - jnp.where(at_x0, 1.0, 0.0)
+
+        vblk = value_ref[0]
+        u = jnp.dot(vblk, rx.astype(vblk.dtype), preferred_element_type=jnp.float32)
+        ux = jnp.dot(vblk, drx.astype(vblk.dtype), preferred_element_type=jnp.float32)
+
+        iota_hb = jax.lax.broadcasted_iota(jnp.int32, (HB, TQ * P), 0) + h0
+        y0i = y0.astype(jnp.int32)
+        ooby = (y0 < -1e6) | (y0 > 1e6)
+        at_y0 = (iota_hb == y0i) & ~ooby
+        at_y1 = (iota_hb == y0i + 1) & ~ooby
+        ry = jnp.where(at_y0, 1.0 - ty, 0.0) + jnp.where(at_y1, ty, 0.0)
+        dry = jnp.where(at_y1, 1.0, 0.0) - jnp.where(at_y0, 1.0, 0.0)
+
+        # dOut broadcast over P: contract [D, TQ] with g3 [TQP, TQ] on TQ
+        # (dot_general "NT" form — no in-kernel transpose, Mosaic-friendly)
+        dout = jax.lax.dot_general(
+            g_ref[0].astype(jnp.float32), g3_ref[:].astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [D, TQP]
+
+        s_pre = ry[0:1, :] * u[0:D, :]
+        sx = ry[0:1, :] * ux[0:D, :]
+        sy = dry[0:1, :] * u[0:D, :]
+        for h in range(1, HB):
+            s_pre = s_pre + ry[h : h + 1, :] * u[h * D : (h + 1) * D, :]
+            sx = sx + ry[h : h + 1, :] * ux[h * D : (h + 1) * D, :]
+            sy = sy + dry[h : h + 1, :] * u[h * D : (h + 1) * D, :]
+
+        attn_row = w_ref[0].astype(jnp.float32)  # [1, TQP]
+        da_acc[:] += jnp.sum(s_pre * dout, axis=0, keepdims=True)
+        dx_acc[:] += attn_row * float(W) * jnp.sum(sx * dout, axis=0, keepdims=True)
+        dy_acc[:] += attn_row * float(H) * jnp.sum(sy * dout, axis=0, keepdims=True)
+
+    @pl.when(j == NB - 1)
+    def _():
+        dloc_ref[0, 0:1] = dx_acc[:].astype(dloc_ref.dtype)
+        dloc_ref[0, 1:2] = dy_acc[:].astype(dloc_ref.dtype)
+        dattn_ref[0] = da_acc[:].astype(dattn_ref.dtype)
+
+
+def _bwd_v_kernel(
+    need_ref, loc_ref, w_ref, g_ref, g3_ref, dv_ref, du_scratch,
+    *, H, W, D, P, TQ, HB, NB, MM_DTYPE,
+):
+    """Backward kernel 2 (block-major): dValue.
+
+    Grid (bm, block, tile): the dV block stays resident in VMEM across the
+    tile sweep; per touched tile, build dU = Ryw (x) dOut on the VPU, then one
+    transposed matmul dV += dU @ Rx^T.
+    need_ref: [BM*NB*T] scalar-prefetch 0/1 — tile touches block.
+    """
+    b = pl.program_id(0)
+    jb = pl.program_id(1)
+    t = pl.program_id(2)
+    T = pl.num_programs(2)
+
+    @pl.when(t == 0)
+    def _():
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    @pl.when(need_ref[(b * NB + jb) * T + t] > 0)
+    def _():
+        h0 = jb * HB
+        loc = loc_ref[0].astype(jnp.float32)
+        attn_row = w_ref[0].astype(jnp.float32)
+        x = loc[0:1] * W - 0.5
+        y = loc[1:2] * H - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        tx = x - x0
+        ty = y - y0
+
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, TQ * P), 0)
+        x0i = x0.astype(jnp.int32)
+        oobx = (x0 < -1e6) | (x0 > 1e6)
+        rx = jnp.where((iota_w == x0i) & ~oobx, 1.0 - tx, 0.0) + jnp.where(
+            (iota_w == x0i + 1) & ~oobx, tx, 0.0
+        )
+
+        iota_hb = jax.lax.broadcasted_iota(jnp.int32, (HB, TQ * P), 0) + h0
+        y0i = y0.astype(jnp.int32)
+        ooby = (y0 < -1e6) | (y0 > 1e6)
+        ryw = (
+            jnp.where((iota_hb == y0i) & ~ooby, 1.0 - ty, 0.0)
+            + jnp.where((iota_hb == y0i + 1) & ~ooby, ty, 0.0)
+        ) * attn_row
+
+        dout = jax.lax.dot_general(
+            g_ref[0].astype(jnp.float32), g3_ref[:].astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [D, TQP]
+
+        for h in range(HB):
+            du_scratch[h * D : (h + 1) * D, :] = ryw[h : h + 1, :] * dout
+
+        # dV += dU @ Rx^T, contracted on the sample axis (NT form)
+        dv_ref[0] += jax.lax.dot_general(
+            du_scratch[:].astype(MM_DTYPE), rx.astype(MM_DTYPE),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dv_ref.dtype)
+
+
+def _sample_level_bwd(value_l, loc_l, w_l, g_l, H: int, W: int):
+    """Gradients for one level. value_l: [BM, H, W*D]; loc_l: [BM, Q, P, 2];
+    w_l: [BM, Q, P]; g_l: [BM, Q, D] -> (dvalue_l, dloc_l, dw_l)."""
+    import os
+
+    bm, q, p, _ = loc_l.shape
+    d = value_l.shape[-1] // W
+
+    hb = min(int(os.environ.get("VNEXT_MSDA_HB", "16")), ((H + 7) // 8) * 8)
+    nb = (H + hb - 1) // hb
+    h_pad = nb * hb
+    tq = min(_choose_tile(p, hb, d), int(os.environ.get("VNEXT_MSDA_TQ", "256")))
+    q_pad = ((q + tq - 1) // tq) * tq
+    if q_pad != q:
+        loc_l = jnp.pad(loc_l, ((0, 0), (0, q_pad - q), (0, 0), (0, 0)), constant_values=0.5)
+        w_l = jnp.pad(w_l, ((0, 0), (0, q_pad - q), (0, 0)))
+        g_l = jnp.pad(g_l, ((0, 0), (0, q_pad - q), (0, 0)))
+    t = q_pad // tq
+
+    g3 = jnp.asarray(
+        ((np.arange(tq * p)[:, None] // p) == np.arange(tq)[None, :]).astype(np.float32)
+    )
+
+    v_x = jnp.swapaxes(value_l.reshape(bm, H, W, d), 2, 3).reshape(bm, H * d, W)
+    if h_pad != H:
+        v_x = jnp.pad(v_x, ((0, 0), (0, (h_pad - H) * d), (0, 0)))
+
+    loc_T = jnp.swapaxes(loc_l.reshape(bm, q_pad * p, 2), 1, 2)
+    w_T = jnp.swapaxes(w_l.reshape(bm, q_pad * p, 1), 1, 2)
+    g_T = jnp.swapaxes(g_l, 1, 2)  # [BM, D, q_pad]
+
+    ids, n = _block_schedule(loc_l[..., 1] * H - 0.5, H, hb, nb, tq, p)
+
+    # ---- kernel 1: dLoc + dAttn (tile-major)
+    la_grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(bm, t, nb),
+        in_specs=[
+            pl.BlockSpec((1, 2, tq * p), lambda b, ti, j, i_r, n_r: (b, 0, ti)),
+            pl.BlockSpec((1, 1, tq * p), lambda b, ti, j, i_r, n_r: (b, 0, ti)),
+            pl.BlockSpec(
+                (1, hb * d, W),
+                lambda b, ti, j, i_r, n_r: (b, i_r[(b * t + ti) * nb + j], 0),
+            ),
+            pl.BlockSpec((1, d, tq), lambda b, ti, j, i_r, n_r: (b, 0, ti)),
+            pl.BlockSpec((tq * p, tq), lambda b, ti, j, i_r, n_r: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 2, tq * p), lambda b, ti, j, i_r, n_r: (b, 0, ti)),
+            pl.BlockSpec((1, 1, tq * p), lambda b, ti, j, i_r, n_r: (b, 0, ti)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, tq * p), jnp.float32),
+            pltpu.VMEM((1, tq * p), jnp.float32),
+            pltpu.VMEM((1, tq * p), jnp.float32),
+        ],
+    )
+    la_kernel = functools.partial(
+        _bwd_la_kernel, H=H, W=W, D=d, P=p, TQ=tq, HB=hb, NB=nb
+    )
+    dloc_T, dattn_T = pl.pallas_call(
+        la_kernel,
+        grid_spec=la_grid,
+        out_shape=[
+            jax.ShapeDtypeStruct((bm, 2, q_pad * p), jnp.float32),
+            jax.ShapeDtypeStruct((bm, 1, q_pad * p), jnp.float32),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(ids, n, loc_T, w_T, v_x, g_T, g3)
+
+    # ---- kernel 2: dValue (block-major; dV block resident across tile sweep)
+    y = loc_l[..., 1] * H - 0.5
+    y0 = jnp.floor(jnp.clip(y, -2.0 * H - 4, 2.0 * H + 4)).astype(jnp.int32)
+    rows = jnp.stack([y0, y0 + 1], -1).reshape(bm, t, tq * p * 2)
+    valid = (rows >= 0) & (rows < H)
+    blk = jnp.where(valid, rows // hb, -1)
+    need = (
+        (blk[:, :, :, None] == jnp.arange(nb)[None, None, None, :])
+        .any(axis=2)
+        .astype(jnp.int32)
+    )  # [BM, T, NB]
+    need = jnp.swapaxes(need, 1, 2).reshape(-1)  # [BM*NB*T]
+
+    v_grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bm, nb, t),
+        in_specs=[
+            pl.BlockSpec((1, 2, tq * p), lambda b, jb, ti, n_r: (b, 0, ti)),
+            pl.BlockSpec((1, 1, tq * p), lambda b, jb, ti, n_r: (b, 0, ti)),
+            pl.BlockSpec((1, d, tq), lambda b, jb, ti, n_r: (b, 0, ti)),
+            pl.BlockSpec((tq * p, tq), lambda b, jb, ti, n_r: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, hb * d, W), lambda b, jb, ti, n_r: (b, jb, 0)),
+        scratch_shapes=[pltpu.VMEM((hb * d, tq * p), jnp.float32)],
+    )
+    v_kernel = functools.partial(
+        _bwd_v_kernel, H=H, W=W, D=d, P=p, TQ=tq, HB=hb, NB=nb,
+        MM_DTYPE=value_l.dtype,
+    )
+    dv_x = pl.pallas_call(
+        v_kernel,
+        grid_spec=v_grid,
+        out_shape=jax.ShapeDtypeStruct((bm, h_pad * d, W), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )(need, loc_T, w_T, g_T, g3)
+
+    # undo the value layout: [BM, H_pad*D, W] -> [BM, H, W*D]
+    dv = dv_x[:, : H * d].reshape(bm, H, d, W)
+    dv = jnp.swapaxes(dv, 2, 3).reshape(bm, H, W * d)
+
+    dloc = jnp.swapaxes(dloc_T, 1, 2).reshape(bm, q_pad, p, 2)[:, :q]
+    dattn = jnp.swapaxes(dattn_T, 1, 2).reshape(bm, q_pad, p)[:, :q]
+    return dv, dloc, dattn
+
+
 def _forward(value, spatial_shapes, sampling_locations, attention_weights):
     B, S, M, D = value.shape
     _, Q, _, L, P, _ = sampling_locations.shape
@@ -255,16 +525,40 @@ def _fwd(value, spatial_shapes, sampling_locations, attention_weights):
 
 
 def _bwd(spatial_shapes, residuals, g):
-    # gradients via the gather-free factorized path's autodiff (remat-optimized;
-    # a dedicated backward kernel — transposed matmuls — is the next step)
-    from .ms_deform_attn import ms_deform_attn_factorized_xla
-
+    """Dedicated backward kernels (reference: ms_deform_im2col_cuda.cuh:238
+    ms_deformable_col2im_* — dV scatter + dLoc/dAttn derivative passes)."""
     value, loc, attn = residuals
-    _, vjp = jax.vjp(
-        lambda v, l, a: ms_deform_attn_factorized_xla(v, spatial_shapes, l, a),
-        value, loc, attn,
-    )
-    return vjp(g.astype(value.dtype))
+    B, S, M, D = value.shape
+    _, Q, _, L, P, _ = loc.shape
+    spatial_shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
+
+    value_bm = jnp.moveaxis(value, 2, 1).reshape(B * M, S, D)
+    loc_bm = jnp.moveaxis(loc, 2, 1).reshape(B * M, Q, L, P, 2)
+    w_bm = jnp.moveaxis(attn, 2, 1).reshape(B * M, Q, L, P)
+    # cotangent [B, Q, M*D] -> [BM, Q, D]
+    g_bm = jnp.moveaxis(g.reshape(B, Q, M, D), 2, 1).reshape(B * M, Q, D)
+    g_bm = g_bm.astype(jnp.float32)
+
+    dv_parts, dloc_parts, dw_parts = [], [], []
+    start = 0
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v_l = jax.lax.dynamic_slice_in_dim(value_bm, start, h * w, axis=1)
+        v_l = v_l.reshape(B * M, h, w * D)
+        dv_l, dloc_l, dw_l = _sample_level_bwd(
+            v_l, loc_bm[:, :, lvl], w_bm[:, :, lvl], g_bm, h, w
+        )
+        dv_parts.append(dv_l.reshape(B * M, h * w, D))
+        dloc_parts.append(dloc_l)
+        dw_parts.append(dw_l)
+        start += h * w
+
+    dvalue = jnp.concatenate(dv_parts, axis=1).reshape(B, M, S, D)
+    dvalue = jnp.moveaxis(dvalue, 1, 2).astype(value.dtype)
+    dloc = jnp.stack(dloc_parts, axis=2).reshape(B, M, Q, L, P, 2)
+    dloc = jnp.moveaxis(dloc, 1, 2).astype(loc.dtype)
+    dw = jnp.stack(dw_parts, axis=2).reshape(B, M, Q, L, P)
+    dw = jnp.moveaxis(dw, 1, 2).astype(attn.dtype)
+    return dvalue, dloc, dw
 
 
 ms_deform_attn_pallas.defvjp(_fwd, _bwd)
