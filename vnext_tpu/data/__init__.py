@@ -1,3 +1,6 @@
+from . import augmentation as augmentations  # policy API (T.* analogue)
+from . import transforms
+from .augmentation import AugInput, Augmentation, AugmentationList, apply_augmentations, build_idol_augmentation
 from .catalog import DatasetCatalog, Metadata, MetadataCatalog
 from .build import (
     InferenceSampler,
@@ -19,6 +22,13 @@ from .datasets.ytvis import (
 )
 
 __all__ = [
+    "AugInput",
+    "Augmentation",
+    "AugmentationList",
+    "apply_augmentations",
+    "augmentations",
+    "build_idol_augmentation",
+    "transforms",
     "DatasetCatalog",
     "Metadata",
     "MetadataCatalog",

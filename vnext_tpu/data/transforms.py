@@ -26,6 +26,14 @@ class Transform:
     def apply_coords(self, coords: np.ndarray) -> np.ndarray:
         raise NotImplementedError
 
+    def apply_segmentation(self, segmentation: np.ndarray) -> np.ndarray:
+        """Default: transform like an image but with nearest resampling where
+        the subclass distinguishes (reference fvcore Transform semantics)."""
+        return self.apply_image(segmentation)
+
+    def inverse(self) -> "Transform":
+        raise NotImplementedError(f"{type(self).__name__} is not invertible")
+
     def apply_box(self, boxes: np.ndarray) -> np.ndarray:
         """boxes: [N, 4] xyxy."""
         if len(boxes) == 0:
@@ -55,6 +63,13 @@ class ResizeTransform(Transform):
         coords[:, 1] *= self.new_h / self.h
         return coords
 
+    def apply_segmentation(self, segmentation: np.ndarray) -> np.ndarray:
+        pil = Image.fromarray(segmentation)
+        return np.asarray(pil.resize((self.new_w, self.new_h), Image.NEAREST))
+
+    def inverse(self) -> "ResizeTransform":
+        return ResizeTransform(self.new_h, self.new_w, self.h, self.w)
+
 
 class HFlipTransform(Transform):
     def __init__(self, width: int):
@@ -68,6 +83,25 @@ class HFlipTransform(Transform):
         coords[:, 0] = self.width - coords[:, 0]
         return coords
 
+    def inverse(self) -> "HFlipTransform":
+        return self
+
+
+class VFlipTransform(Transform):
+    def __init__(self, height: int):
+        self.height = height
+
+    def apply_image(self, img: np.ndarray) -> np.ndarray:
+        return np.ascontiguousarray(img[::-1])
+
+    def apply_coords(self, coords: np.ndarray) -> np.ndarray:
+        coords = coords.copy()
+        coords[:, 1] = self.height - coords[:, 1]
+        return coords
+
+    def inverse(self) -> "VFlipTransform":
+        return self
+
 
 class CropTransform(Transform):
     def __init__(self, x0: int, y0: int, w: int, h: int):
@@ -80,6 +114,74 @@ class CropTransform(Transform):
         coords = coords.copy()
         coords[:, 0] -= self.x0
         coords[:, 1] -= self.y0
+        return coords
+
+
+class PadTransform(Transform):
+    """Pad by (x0, y0) on the top-left and (x1, y1) on the bottom-right
+    (reference fvcore PadTransform, used by FixedSizeCrop)."""
+
+    def __init__(self, x0: int, y0: int, x1: int, y1: int,
+                 pad_value: float = 0.0, seg_pad_value: int = 0):
+        self.x0, self.y0, self.x1, self.y1 = x0, y0, x1, y1
+        self.pad_value = pad_value
+        self.seg_pad_value = seg_pad_value
+
+    def _pad(self, img, value):
+        pads = [(self.y0, self.y1), (self.x0, self.x1)] + [(0, 0)] * (img.ndim - 2)
+        return np.pad(img, pads, constant_values=value).astype(img.dtype)
+
+    def apply_image(self, img):
+        return self._pad(img, self.pad_value)
+
+    def apply_segmentation(self, segmentation):
+        return self._pad(segmentation, self.seg_pad_value)
+
+    def apply_coords(self, coords):
+        coords = coords.copy()
+        coords[:, 0] += self.x0
+        coords[:, 1] += self.y0
+        return coords
+
+
+class ExtentTransform(Transform):
+    """Resample a (possibly out-of-bounds, zero-padded) source rectangle to a
+    fixed output size (reference fvcore ExtentTransform via PIL EXTENT; used
+    by RandomExtent)."""
+
+    def __init__(self, src_rect, output_size, interp=Image.BILINEAR, fill=0):
+        self.src_rect = tuple(float(v) for v in src_rect)  # x0, y0, x1, y1
+        self.output_size = tuple(int(v) for v in output_size)  # h, w
+        self.interp = interp
+        self.fill = fill
+
+    def _apply(self, img, interp):
+        h, w = self.output_size
+        if len(img.shape) > 2 and img.shape[2] == 1:
+            pil = Image.fromarray(img[:, :, 0])
+        else:
+            pil = Image.fromarray(img)
+        pil = pil.transform(
+            size=(w, h), method=Image.EXTENT, data=self.src_rect,
+            resample=interp, fill=self.fill,
+        )
+        out = np.asarray(pil)
+        if len(img.shape) > 2 and img.shape[2] == 1:
+            out = out[:, :, None]
+        return out
+
+    def apply_image(self, img):
+        return self._apply(img, self.interp)
+
+    def apply_segmentation(self, segmentation):
+        return self._apply(segmentation, Image.NEAREST)
+
+    def apply_coords(self, coords):
+        x0, y0, x1, y1 = self.src_rect
+        h, w = self.output_size
+        coords = coords.astype(np.float64).copy()
+        coords[:, 0] = (coords[:, 0] - x0) * (w / max(x1 - x0, 1e-9))
+        coords[:, 1] = (coords[:, 1] - y0) * (h / max(y1 - y0, 1e-9))
         return coords
 
 
@@ -101,6 +203,9 @@ class BlendTransform(Transform):
     def apply_coords(self, coords):
         return coords
 
+    def apply_segmentation(self, segmentation):
+        return segmentation
+
 
 def random_brightness(rng, lo: float = 0.9, hi: float = 1.1) -> BlendTransform:
     return BlendTransform(0.0, 0.0, rng.uniform(lo, hi))
@@ -118,31 +223,44 @@ def random_saturation(img, rng, lo: float = 0.9, hi: float = 1.1) -> BlendTransf
 
 
 class RotationTransform(Transform):
-    """Rotate by ``angle`` degrees around the image center, expanding the
-    canvas to hold the whole rotated image (reference
-    augmentation_impl.py:392 RandomRotation with expand=True)."""
+    """Rotate by ``angle`` degrees around ``center`` (default: image center).
 
-    def __init__(self, h: int, w: int, angle: float):
+    expand=True grows the canvas to hold the whole rotated image (reference
+    augmentation_impl.py:392 RandomRotation); expand=False keeps the original
+    size, cropping corners — the IDOL rotation recipe
+    (idol/data/augmentation.py:153 uses expand=False with a random center).
+    """
+
+    def __init__(self, h: int, w: int, angle: float, expand: bool = True,
+                 center: Optional[Tuple[float, float]] = None):
         self.h, self.w, self.angle = h, w, float(angle)
+        self.expand = expand
         rad = np.deg2rad(self.angle)
-        c, s = np.cos(rad), np.sin(rad)
-        # expanded bounds, computed exactly like PIL.Image.rotate(expand=True)
-        # (corner transform + ceil/floor, so float slop matches PIL's output)
-        corners = np.asarray([[0, 0], [w, 0], [w, h], [0, h]], np.float64)
-        rel = corners - np.asarray([w / 2.0, h / 2.0])
-        rot = rel @ np.asarray([[c, s], [-s, c]]).T
-        self.new_w = int(np.ceil(rot[:, 0].max()) - np.floor(rot[:, 0].min()))
-        self.new_h = int(np.ceil(rot[:, 1].max()) - np.floor(rot[:, 1].min()))
-        # rotation ABOUT the original center, then shift to the new center.
-        # PIL's Image.rotate(angle) rotates counterclockwise in display coords;
-        # in array (y-down) coords that is the matrix [[c, s], [-s, c]].
+        # PIL rounds the matrix coefficients to 15 decimals (Image.rotate), so
+        # exact angles like 90 deg produce exact bounds — match it
+        c, s = round(float(np.cos(rad)), 15), round(float(np.sin(rad)), 15)
+        # rotation in array (y-down) coords: PIL rotates counterclockwise in
+        # display coords, which is the matrix [[c, s], [-s, c]] here
         self._m = np.asarray([[c, s], [-s, c]])
-        self._center = np.asarray([w / 2.0, h / 2.0])
-        self._new_center = np.asarray([self.new_w / 2.0, self.new_h / 2.0])
+        self._center = np.asarray(center if center is not None else (w / 2.0, h / 2.0))
+        if expand:
+            # expanded bounds, computed exactly like PIL.Image.rotate(expand=True)
+            corners = np.asarray([[0, 0], [w, 0], [w, h], [0, h]], np.float64)
+            rel = corners - np.asarray([w / 2.0, h / 2.0])
+            rot = rel @ self._m.T
+            self.new_w = int(np.ceil(rot[:, 0].max()) - np.floor(rot[:, 0].min()))
+            self.new_h = int(np.ceil(rot[:, 1].max()) - np.floor(rot[:, 1].min()))
+            self._new_center = np.asarray([self.new_w / 2.0, self.new_h / 2.0])
+        else:
+            self.new_w, self.new_h = w, h
+            self._new_center = self._center
 
-    def apply_image(self, img):
+    def _rotate(self, img, resample):
         pil = Image.fromarray(img)
-        out = pil.rotate(self.angle, resample=Image.BILINEAR, expand=True)
+        out = pil.rotate(
+            self.angle, resample=resample, expand=self.expand,
+            center=None if self.expand else tuple(self._center),
+        )
         arr = np.asarray(out)
         # PIL's expand uses the same bounds formula; pad/crop for rounding skew
         if arr.shape[0] != self.new_h or arr.shape[1] != self.new_w:
@@ -150,6 +268,12 @@ class RotationTransform(Transform):
             fixed[: arr.shape[0], : arr.shape[1]] = arr[: self.new_h, : self.new_w]
             arr = fixed
         return arr
+
+    def apply_image(self, img):
+        return self._rotate(img, Image.BILINEAR)
+
+    def apply_segmentation(self, segmentation):
+        return self._rotate(segmentation, Image.NEAREST)
 
     def apply_coords(self, coords):
         return (coords - self._center) @ self._m.T + self._new_center
@@ -161,6 +285,9 @@ class NoOpTransform(Transform):
 
     def apply_coords(self, coords):
         return coords
+
+    def inverse(self) -> "NoOpTransform":
+        return self
 
 
 class TransformList(Transform):
@@ -176,6 +303,14 @@ class TransformList(Transform):
         for t in self.transforms:
             coords = t.apply_coords(coords)
         return coords
+
+    def apply_segmentation(self, segmentation):
+        for t in self.transforms:
+            segmentation = t.apply_segmentation(segmentation)
+        return segmentation
+
+    def inverse(self) -> "TransformList":
+        return TransformList([t.inverse() for t in self.transforms[::-1]])
 
 
 def get_resize_shortest_edge(
