@@ -138,7 +138,7 @@ from .roi_heads_extra import (  # noqa: E402
     RROIHeads,
 )
 from .semantic_seg import SemanticSegmentor, combine_semantic_and_instance_outputs  # noqa: E402
-from .tta import DetectorWithTTA  # noqa: E402
+from .tta import DetectorWithTTA, GeneralizedRCNNWithTTA  # noqa: E402
 
 __all__ += [
     "RegNet",
@@ -163,4 +163,5 @@ __all__ += [
     "SemanticSegmentor",
     "combine_semantic_and_instance_outputs",
     "DetectorWithTTA",
+    "GeneralizedRCNNWithTTA",
 ]

@@ -409,6 +409,26 @@ class GeneralizedRCNN(nn.Module):
         return out
 
 
+    def inference_masks_on_boxes(
+        self, images: Array, boxes: Array, classes: Array
+    ) -> Array:
+        """Run only the mask branch on GIVEN detection boxes.
+
+        The second TTA pass (reference test_time_augmentation.py:229-233
+        _batch_inference with detected_instances) re-runs the mask head on the
+        merged boxes in each augmented frame. boxes: [B, D, 4] xyxy in this
+        image's coordinates; classes: [B, D]. Returns mask probs [B, D, m, m].
+        """
+        feats = self._features(images)
+        head_out = self.roi_heads(feats, boxes)
+        ml = head_out["mask_logits"]  # [B, D, m, m, C]
+        sel = jnp.take_along_axis(
+            ml, jnp.clip(classes, 0, self.num_classes - 1)[:, :, None, None, None],
+            axis=-1,
+        )[..., 0]
+        return jax.nn.sigmoid(sel)
+
+
 class ProposalNetwork(nn.Module):
     """Backbone + RPN only (reference meta_arch/rcnn.py:247 ProposalNetwork):
     trains/evaluates region proposals without ROI heads."""

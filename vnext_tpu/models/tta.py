@@ -81,3 +81,85 @@ class DetectorWithTTA:
 
         b, s, c, v = jax.vmap(merge)(boxes, scores, classes, valid)
         return {"boxes": b, "scores": s, "classes": c, "valid": v}
+
+
+class GeneralizedRCNNWithTTA(DetectorWithTTA):
+    """Full R-CNN TTA (reference test_time_augmentation.py:101):
+
+    1. detect boxes in every scale/flip variant, map them back to the original
+       frame, and merge the union with class-aware NMS (inherited);
+    2. map the MERGED boxes into each augmented frame, re-run only the mask
+       head there (:229 _batch_inference with detected_instances), flip masks
+       from flipped variants back (:298 _reduce_pred_masks) and average.
+    """
+
+    def __init__(self, model, params, image_sizes, **kwargs):
+        self.model = model
+        self.params = params
+        self.image_sizes = image_sizes
+
+        def infer(images):
+            out = model.apply(
+                {"params": params}, images,
+                self._scaled_sizes(images.shape[1:3]),
+                method=type(model).inference,
+            )
+            return out
+
+        super().__init__(infer, **kwargs)
+
+    def _scaled_sizes(self, hw):
+        import jax.numpy as jnp
+
+        return jnp.tile(jnp.asarray([[hw[0], hw[1]]], jnp.int32),
+                        (self.image_sizes.shape[0], 1))
+
+    def __call__(self, images: Array) -> Dict[str, Array]:
+        merged = super().__call__(images)
+        if not getattr(self.model, "mask_on", False):
+            return merged
+
+        b, h, w, _ = images.shape
+        boxes, classes = merged["boxes"], merged["classes"]
+        mask_sum = None
+        count = 0
+        for aug, unmap, remap in self._augmented_with_remap(images):
+            boxes_aug = remap(boxes)
+            probs = self.model.apply(
+                {"params": self.params}, aug, boxes_aug, classes,
+                method=type(self.model).inference_masks_on_boxes,
+            )
+            if getattr(remap, "flipped", False):
+                probs = probs[:, :, :, ::-1]
+            mask_sum = probs if mask_sum is None else mask_sum + probs
+            count += 1
+        merged["mask_probs"] = mask_sum / count
+        return merged
+
+    def _augmented_with_remap(self, images: Array):
+        """Like _augmented_batches but also yields the forward box map
+        (original frame -> augmented frame), used to transplant merged boxes."""
+        b, h, w, _ = images.shape
+        for short in self.min_sizes:
+            scale = short / min(h, w)
+            nh, nw = int(round(h * scale)), int(round(w * scale))
+            resized = resize_bilinear(
+                images.transpose(0, 3, 1, 2), nh, nw
+            ).transpose(0, 2, 3, 1)
+            fx, fy = nw / w, nh / h
+
+            def remap(boxes, fx=fx, fy=fy):
+                return boxes * jnp.asarray([fx, fy, fx, fy])
+
+            remap.flipped = False
+            yield resized, None, remap
+            if self.flip:
+                def remap_flip(boxes, fx=fx, fy=fy, nw=nw):
+                    x1 = nw - boxes[..., 2] * fx
+                    x2 = nw - boxes[..., 0] * fx
+                    return jnp.stack(
+                        [x1, boxes[..., 1] * fy, x2, boxes[..., 3] * fy], -1
+                    )
+
+                remap_flip.flipped = True
+                yield resized[:, :, ::-1], None, remap_flip
