@@ -18,7 +18,10 @@ $BIN -m pytest -q \
     tests/test_extra_evaluators.py \
     tests/test_native_eval.py \
     tests/test_hungarian.py \
-    tests/test_misc_parity.py
+    tests/test_misc_parity.py \
+    tests/test_augmentation.py \
+    tests/test_results_json_golden.py \
+    tests/test_model_zoo.py
 
 # end-to-end: 3 train iters + eval + verify_results from yaml (synthetic data)
 JAX_PLATFORMS=cpu $BIN - <<'PYEOF'

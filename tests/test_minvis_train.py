@@ -76,7 +76,8 @@ def test_maskformer_weight_dict_covers_aux():
     add_maskformer_config(cfg)
     wd = maskformer_weight_dict(cfg)
     assert wd["loss_ce"] == 2.0 and wd["loss_mask_0"] == 5.0
-    assert f"loss_dice_{cfg.MODEL.MASK_FORMER.DEC_LAYERS - 2}" in wd
+    # DEC_LAYERS+1 prediction sets -> aux terms _0.._{DEC_LAYERS-1}
+    assert f"loss_dice_{cfg.MODEL.MASK_FORMER.DEC_LAYERS - 1}" in wd
 
 
 def test_instmove_training_decreases_loss():

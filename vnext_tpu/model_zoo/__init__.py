@@ -1,3 +1,1 @@
-from .model_zoo import get, get_checkpoint_url, get_config, get_config_file
-
-__all__ = ["get", "get_checkpoint_url", "get_config", "get_config_file"]
+from .model_zoo import get, get_checkpoint_url, get_config, get_config_file, list_configs

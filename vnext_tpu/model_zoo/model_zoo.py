@@ -23,6 +23,10 @@ _WEIGHTS = {
     "idol/ovis_r50.yaml": "IDOL_OVIS_R50.pth",
     "idol/ovis_swinL.yaml": "IDOL_OVIS_SWINL.pth",
     "idol/ytvis21_swinL.yaml": "IDOL_YTVIS21_SWINL.pth",
+    # SeqFormer zoo is "in preparation" upstream (SeqFormer.md); MinVIS+motion
+    # checkpoints from projects/InstMove/InstMove.md
+    "minvis/ovis_r50.yaml": "MINVIS_OVIS_R50.pth",
+    "minvis/ovis_r50_motion.yaml": "MINVIS_MOTION_OVIS_R50.pth",
 }
 
 
@@ -41,22 +45,38 @@ def get_checkpoint_url(config_path: str) -> str:
 
 
 def get_config(config_path: str, trained: bool = False):
-    from ..config import add_idol_config, add_seqformer_config, get_cfg
+    from ..config import (
+        add_idol_config,
+        add_maskformer_config,
+        add_seqformer_config,
+        get_cfg,
+    )
 
     cfg = get_cfg()
-    add_idol_config(cfg)
-    try:
-        add_seqformer_config(cfg)
-    except Exception:
-        pass
+    if config_path.startswith("minvis"):
+        add_maskformer_config(cfg)
+    else:
+        add_idol_config(cfg)
+        try:
+            add_seqformer_config(cfg)
+        except Exception:
+            pass
     cfg.merge_from_file(get_config_file(config_path))
     if trained:
         cfg.MODEL.WEIGHTS = get_checkpoint_url(config_path)
     return cfg
 
 
-def get(config_path: str, trained: bool = False):
-    """Build the model for a zoo config; loads weights when trained=True."""
+def list_configs():
+    """All config paths with registered pretrained weights."""
+    return sorted(_WEIGHTS)
+
+
+def get(config_path: str, trained: bool = False, init: bool = True):
+    """Build the model for a zoo config; loads weights when trained=True.
+
+    init=False returns (model, None, cfg) without initializing parameters —
+    cheap enough to smoke-test every zoo entry."""
     import jax
     import jax.numpy as jnp
 
@@ -66,6 +86,8 @@ def get(config_path: str, trained: bool = False):
 
     cfg = get_config(config_path, trained)
     model = build_model(cfg)
+    if not init:
+        return model, None, cfg
     h, w = cfg.TPU.TEST_IMAGE_SIZE
     params = model.init(
         {"params": jax.random.PRNGKey(0)},

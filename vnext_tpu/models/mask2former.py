@@ -415,6 +415,9 @@ def maskformer_weight_dict(cfg) -> dict:
     base = {"loss_ce": m.CLASS_WEIGHT, "loss_mask": m.MASK_WEIGHT, "loss_dice": m.DICE_WEIGHT}
     out = dict(base)
     if m.DEEP_SUPERVISION:
-        for i in range(m.DEC_LAYERS - 1):
+        # the decoder emits DEC_LAYERS+1 prediction sets (the pre-decoder
+        # query prediction + one per layer, reference
+        # mask2former_transformer_decoder.py) -> DEC_LAYERS aux terms
+        for i in range(m.DEC_LAYERS):
             out.update({f"{k}_{i}": v for k, v in base.items()})
     return out
