@@ -57,16 +57,16 @@ Array = jnp.ndarray
 _VMEM_BUDGET = 12 * 1024 * 1024  # bytes for the u intermediate (16 MB scoped cap)
 
 
-def _choose_tile(p: int, hb: int, d: int) -> int:
-    """Query tile TQ such that the [HB*D, TQ*P] f32 intermediate fits VMEM."""
+def _choose_tile(p: int, hb: int, d: int, itemsize: int = 4) -> int:
+    """Query tile TQ such that the [HB*D, TQ*P] u intermediate fits VMEM."""
     tq = 256
-    while tq > 8 and hb * d * tq * p * 4 > _VMEM_BUDGET:
+    while tq > 8 and hb * d * tq * p * itemsize > _VMEM_BUDGET:
         tq //= 2
     return tq
 
 
 def _blocked_kernel(
-    ids_ref, n_ref, loc_ref, w_ref, value_ref, g3_ref, out_ref, acc_ref,
+    ids_ref, n_ref, loc_ref, w_ref, value_ref, g3_ref, out_ref, acc_ref, rx_ref,
     *, H, W, D, P, TQ, HB, NB,
 ):
     """One (bm, query-tile, block) program.
@@ -82,6 +82,8 @@ def _blocked_kernel(
     g3_ref:  [TQ*P, TQ]      constant 0/1 point-sum matrix (i // P == j)
     out_ref: [1, D, TQ]      weighted sampled output (transposed)
     acc_ref: [D, TQ*P] f32 scratch — accumulates across the block dimension
+    rx_ref:  [W, TQ*P] scratch — the x-corner selector; block-INDEPENDENT, so
+             it is built once per tile (j == 0) and reused across block visits
     """
     b = pl.program_id(0)
     t = pl.program_id(1)
@@ -92,21 +94,12 @@ def _blocked_kernel(
     @pl.when(j == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    @pl.when(j < n)
-    def _():
-        h0 = ids_ref[(b * T + t) * NB + j] * HB
         loc = loc_ref[0].astype(jnp.float32)      # [2, TQP]
-        attn_row = w_ref[0].astype(jnp.float32)   # [1, TQP]
         x = loc[0:1] * W - 0.5                    # [1, TQP]
-        y = loc[1:2] * H - 0.5
         x0 = jnp.floor(x)
-        y0 = jnp.floor(y)
         tx = x - x0
-        ty = y - y0
-
-        # Mosaic requires integer iota; compare in int space (x0 is floor()ed so
-        # the cast is exact in range; the guard only kills extreme samples —
+        # Mosaic requires integer iota; compare in int space (x0 is floor()ed
+        # so the cast is exact in range; the guard only kills extreme samples —
         # x0 == -1 must still contribute its (x0 + 1 == 0) corner)
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, TQ * P), 0)
         x0i = x0.astype(jnp.int32)
@@ -114,9 +107,25 @@ def _blocked_kernel(
         rx = jnp.where((iota_w == x0i) & ~oobx, 1.0 - tx, 0.0) + jnp.where(
             (iota_w == x0i + 1) & ~oobx, tx, 0.0
         )                                         # [W, TQP]
+        rx_ref[:] = rx.astype(rx_ref.dtype)
+
+    @pl.when(j < n)
+    def _():
+        h0 = ids_ref[(b * T + t) * NB + j] * HB
+        loc = loc_ref[0].astype(jnp.float32)      # [2, TQP]
+        attn_row = w_ref[0].astype(jnp.float32)   # [1, TQP]
+        y = loc[1:2] * H - 0.5
+        y0 = jnp.floor(y)
+        ty = y - y0
 
         vblk = value_ref[0]                       # [HB*D, W]
-        u = jnp.dot(vblk, rx.astype(vblk.dtype), preferred_element_type=jnp.float32)
+        # u is materialized in the value dtype: at bf16 this halves the
+        # 2 MB/visit VMEM round-trip between the matmul and the y-interp loop
+        # (the matmul itself must accumulate f32 — Mosaic requires a 32-bit
+        # acc — so the cast happens on the result); f32 models stay exact
+        u = jnp.dot(vblk, rx_ref[:], preferred_element_type=jnp.float32).astype(
+            vblk.dtype
+        )
 
         # y corner weights within this block, attention folded in (f32 VPU side)
         iota_hb = jax.lax.broadcasted_iota(jnp.int32, (HB, TQ * P), 0) + h0
@@ -171,16 +180,22 @@ def _sample_level(value_l: Array, loc_l: Array, w_l: Array, H: int, W: int) -> A
     hb = min(int(os.environ.get("VNEXT_MSDA_HB", "16")), ((H + 7) // 8) * 8)
     nb = (H + hb - 1) // hb
     h_pad = nb * hb
-    tq = min(_choose_tile(p, hb, d), int(os.environ.get("VNEXT_MSDA_TQ", "256")))
+    itemsize = jnp.dtype(value_l.dtype).itemsize
+    tq = min(
+        _choose_tile(p, hb, d, itemsize),
+        int(os.environ.get("VNEXT_MSDA_TQ", "256")),
+    )
     q_pad = ((q + tq - 1) // tq) * tq
     if q_pad != q:
         loc_l = jnp.pad(loc_l, ((0, 0), (0, q_pad - q), (0, 0), (0, 0)), constant_values=0.5)
         w_l = jnp.pad(w_l, ((0, 0), (0, q_pad - q), (0, 0)))
     t = q_pad // tq
 
+    # the P-reduction one-hot in the value dtype (0/1 exact in bf16) keeps its
+    # VMEM footprint bounded at TQ=512
     g3 = jnp.asarray(
         ((np.arange(tq * p)[:, None] // p) == np.arange(tq)[None, :]).astype(np.float32)
-    )  # [TQ*P, TQ]
+    ).astype(value_l.dtype)  # [TQ*P, TQ]
 
     # (h, d) on sublanes, w on lanes: [BM, H, W, D] -> [BM, H*D, W], zero-padded rows
     v_x = jnp.swapaxes(value_l.reshape(bm, H, W, d), 2, 3).reshape(bm, H * d, W)
@@ -212,7 +227,10 @@ def _sample_level(value_l: Array, loc_l: Array, w_l: Array, H: int, W: int) -> A
             pl.BlockSpec((tq * p, tq), lambda b, ti, j, ids_r, n_r: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, d, tq), lambda b, ti, j, ids_r, n_r: (b, 0, ti)),
-        scratch_shapes=[pltpu.VMEM((d, tq * p), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((d, tq * p), jnp.float32),
+            pltpu.VMEM((W, tq * p), value_l.dtype),
+        ],
     )
 
     out = pl.pallas_call(
