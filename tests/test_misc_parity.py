@@ -393,3 +393,48 @@ def test_rotation_transform():
     # boxes stay tight around the rotated blob
     box = t.apply_box(np.asarray([[20.0, 10.0, 26.0, 14.0]]))[0]
     assert box[0] <= xs.min() + 1.5 and box[2] >= xs.max() - 1.5
+
+
+def test_visualizer_extended_surfaces():
+    """Rotated boxes, sem-seg overlay, BW mode, dataset-dict GT drawing
+    (reference visualizer.py ColorMode / draw_rotated_box_with_label /
+    draw_sem_seg / draw_dataset_dict)."""
+    import numpy as np
+
+    from vnext_tpu.utils.visualizer import ColorMode, Visualizer, rotated_box_corners
+
+    img = np.full((60, 80, 3), 200, np.uint8)
+
+    # rotated boxes: 0-angle corners are the axis-aligned rectangle
+    pts = rotated_box_corners([40, 30, 20, 10, 0])
+    assert np.allclose(sorted(p[0] for p in pts), [30, 30, 50, 50])
+    out = Visualizer(img).draw_rotated_instances(
+        np.asarray([[40.0, 30.0, 20.0, 10.0, 30.0]]), labels=np.asarray([0]),
+        scores=np.asarray([0.9]))
+    assert out.shape == img.shape and (out != img).any()
+
+    # sem seg overlay labels every class
+    sem = np.zeros((60, 80), np.uint8)
+    sem[:, 40:] = 3
+    out = Visualizer(img).draw_sem_seg(sem, stuff_names=["road", "a", "b", "sky"])
+    assert (out[:, :40] != out[:, 40:]).any()
+
+    # IMAGE_BW grays the unmasked region, keeps the masked region colored
+    mask = np.zeros((60, 80), bool)
+    mask[10:30, 10:30] = True
+    out = Visualizer(img, color_mode=ColorMode.IMAGE_BW).draw_instances(
+        masks=mask[None], labels=np.asarray([0]))
+    bg = out[45, 70]
+    assert abs(int(bg[0]) - int(bg[1])) <= 1 and abs(int(bg[1]) - int(bg[2])) <= 1
+
+    # dataset dict: XYWH box + polygon segmentation + keypoints
+    rec = {
+        "height": 60, "width": 80,
+        "annotations": [{
+            "bbox": [10, 10, 20, 15], "bbox_mode": 1, "category_id": 0,
+            "segmentation": [[10, 10, 30, 10, 30, 25, 10, 25]],
+            "keypoints": [15, 15, 2, 25, 20, 2],
+        }],
+    }
+    out = Visualizer(img, class_names=["cat"]).draw_dataset_dict(rec)
+    assert (out != img).any()

@@ -16,6 +16,15 @@ from PIL import Image, ImageDraw, ImageFont
 Color = Tuple[int, int, int]
 
 
+class ColorMode:
+    """Reference visualizer.py ColorMode: IMAGE draws on the raw image,
+    SEGMENTATION prefers per-class colors, IMAGE_BW grays out unmasked areas."""
+
+    IMAGE = 0
+    SEGMENTATION = 1
+    IMAGE_BW = 2
+
+
 def _color_for(idx: int) -> Color:
     """Deterministic, well-spread color palette."""
     h = (idx * 0.6180339887) % 1.0
@@ -23,14 +32,70 @@ def _color_for(idx: int) -> Color:
     return int(r * 255), int(g * 255), int(b * 255)
 
 
+def _jitter(color: Color, seed: int = 0) -> Color:
+    """Small random color perturbation (reference visualizer.py _jitter) so
+    same-class instances stay distinguishable in SEGMENTATION mode."""
+    rng = np.random.RandomState(seed)
+    vec = rng.rand(3) - 0.5
+    vec = vec / np.linalg.norm(vec) * 0.5 * 255
+    return tuple(int(np.clip(c + v, 0, 255)) for c, v in zip(color, vec))
+
+
+def _brightness(color: Color) -> float:
+    return (0.299 * color[0] + 0.587 * color[1] + 0.114 * color[2]) / 255.0
+
+
+def _change_brightness(color: Color, factor: float) -> Color:
+    """reference visualizer.py _change_color_brightness: shift lightness by
+    ``factor`` (negative = darker) in HLS space."""
+    h, l, s = colorsys.rgb_to_hls(*(c / 255.0 for c in color))
+    l = min(max(l + factor * l, 0.0), 1.0)
+    r, g, b = colorsys.hls_to_rgb(h, l, s)
+    return int(r * 255), int(g * 255), int(b * 255)
+
+
+def _mask_boundary(mask: np.ndarray) -> np.ndarray:
+    """Boundary pixels of a binary mask (1-px erosion difference)."""
+    m = np.asarray(mask, bool)
+    interior = m.copy()
+    interior[1:] &= m[:-1]
+    interior[:-1] &= m[1:]
+    interior[:, 1:] &= m[:, :-1]
+    interior[:, :-1] &= m[:, 1:]
+    return m & ~interior
+
+
+def rotated_box_corners(box5: Sequence[float]) -> np.ndarray:
+    """(cx, cy, w, h, angle_deg ccw) -> [4, 2] corner points (reference
+    visualizer.py draw_rotated_box_with_label geometry)."""
+    cx, cy, w, h, a = [float(v) for v in box5]
+    theta = np.deg2rad(-a)  # image y-axis points down
+    c, s = np.cos(theta), np.sin(theta)
+    rel = np.asarray(
+        [[-w / 2, -h / 2], [w / 2, -h / 2], [w / 2, h / 2], [-w / 2, h / 2]]
+    )
+    rot = rel @ np.asarray([[c, -s], [s, c]]).T
+    return rot + np.asarray([cx, cy])
+
+
 class Visualizer:
     """Draw instances on a single RGB image (HWC uint8)."""
 
     def __init__(self, img_rgb: np.ndarray, class_names: Optional[Sequence[str]] = None,
-                 mask_alpha: float = 0.45):
+                 mask_alpha: float = 0.45, color_mode: int = ColorMode.IMAGE):
         self._img = Image.fromarray(np.asarray(img_rgb, np.uint8)).convert("RGB")
         self._names = list(class_names) if class_names else None
         self._alpha = mask_alpha
+        self._mode = color_mode
+
+    def _text(self, draw: ImageDraw.ImageDraw, xy, text: str, color: Color):
+        """Label with a brightness-adaptive foreground on a dark backdrop
+        (reference draw_text: black outline + lightness-adjusted fill)."""
+        fg = _change_brightness(color, 0.7 if _brightness(color) < 0.5 else 0.3)
+        x, y = xy
+        tw = max(6 * len(text), 1)
+        draw.rectangle([x, y, x + tw, y + 11], fill=(0, 0, 0))
+        draw.text((x + 1, y), text, fill=fg)
 
     def draw_instances(
         self,
@@ -48,9 +113,27 @@ class Visualizer:
                 break
         if colors is None:
             ids = track_ids if track_ids is not None else range(n)
-            colors = [_color_for(int(i)) for i in ids]
+            if self._mode == ColorMode.SEGMENTATION and labels is not None:
+                # per-class base color, jittered per instance (reference
+                # SEGMENTATION mode semantics)
+                colors = [
+                    _jitter(_color_for(int(labels[i])), seed=int(i))
+                    for i in range(n)
+                ]
+            else:
+                colors = [_color_for(int(i)) for i in ids]
 
         base = np.asarray(self._img, np.float32)
+        if self._mode == ColorMode.IMAGE_BW and masks is not None:
+            # gray out everything outside the union of masks (reference
+            # _create_grayscale_image)
+            gray = base @ np.asarray([0.299, 0.587, 0.114])
+            union = np.zeros(base.shape[:2], bool)
+            for i in range(n):
+                m = np.asarray(masks[i], bool)
+                if m.shape == base.shape[:2]:
+                    union |= m
+            base = np.where(union[..., None], base, gray[..., None])
         if masks is not None:
             for i in range(n):
                 m = np.asarray(masks[i], bool)
@@ -58,6 +141,10 @@ class Visualizer:
                     continue
                 c = np.asarray(colors[i], np.float32)
                 base[m] = base[m] * (1 - self._alpha) + c * self._alpha
+                # boundary outline in a darker shade (reference draws polygon
+                # edges at alpha=1)
+                edge = _mask_boundary(m)
+                base[edge] = np.asarray(_change_brightness(tuple(colors[i]), -0.5))
         out = Image.fromarray(base.astype(np.uint8))
         draw = ImageDraw.Draw(out)
         for i in range(n):
@@ -82,9 +169,105 @@ class Visualizer:
             if track_ids is not None:
                 text = f"#{int(track_ids[i])} " + text
             if text:
-                draw.text((tx, ty), text.strip(), fill=c)
+                self._text(draw, (tx, ty), text.strip(), c)
         self._img = out
         return np.asarray(out)
+
+    def draw_rotated_instances(
+        self,
+        boxes5: np.ndarray,                     # [N, 5] (cx, cy, w, h, angle)
+        labels: Optional[np.ndarray] = None,
+        scores: Optional[np.ndarray] = None,
+        colors: Optional[List[Color]] = None,
+    ) -> np.ndarray:
+        """Rotated-box drawing (reference draw_rotated_box_with_label)."""
+        draw = ImageDraw.Draw(self._img)
+        for i in range(len(boxes5)):
+            c = tuple(colors[i]) if colors else _color_for(i)
+            pts = rotated_box_corners(boxes5[i])
+            draw.polygon([tuple(p) for p in pts], outline=c)
+            text = ""
+            if labels is not None:
+                li = int(labels[i])
+                text = self._names[li] if self._names and li < len(self._names) else str(li)
+            if scores is not None:
+                text += f" {float(scores[i]):.0%}"
+            if text:
+                self._text(draw, tuple(pts.min(0)), text.strip(), c)
+        return np.asarray(self._img)
+
+    def draw_sem_seg(
+        self,
+        sem_seg: np.ndarray,                    # [H, W] class ids
+        stuff_names: Optional[Sequence[str]] = None,
+        ignore_value: int = 255,
+    ) -> np.ndarray:
+        """Per-class overlay + a label at each class's centroid (reference
+        visualizer.py draw_sem_seg)."""
+        base = np.asarray(self._img, np.float32)
+        labels = []
+        for cls in np.unique(sem_seg):
+            if cls == ignore_value:
+                continue
+            m = sem_seg == cls
+            c = np.asarray(_color_for(int(cls)), np.float32)
+            base[m] = base[m] * (1 - self._alpha) + c * self._alpha
+            ys, xs = np.nonzero(m)
+            name = (
+                stuff_names[int(cls)]
+                if stuff_names and int(cls) < len(stuff_names)
+                else str(int(cls))
+            )
+            labels.append((float(xs.mean()), float(ys.mean()), name,
+                           tuple(int(v) for v in c)))
+        out = Image.fromarray(base.astype(np.uint8))
+        draw = ImageDraw.Draw(out)
+        for x, y, name, c in labels:
+            self._text(draw, (x, y), name, c)
+        self._img = out
+        return np.asarray(out)
+
+    def draw_dataset_dict(self, record: dict) -> np.ndarray:
+        """Draw ground-truth annotations of one dataset dict (reference
+        visualizer.py draw_dataset_dict): boxes (any BoxMode), polygon/RLE
+        segmentations, keypoints."""
+        from ..structures.boxes import BoxMode
+
+        annos = record.get("annotations", [])
+        boxes, labels, masks, kps = [], [], None, []
+        h = record.get("height", np.asarray(self._img).shape[0])
+        w = record.get("width", np.asarray(self._img).shape[1])
+        mask_list = []
+        for a in annos:
+            bm = a.get("bbox_mode", 0)
+            boxes.append(BoxMode.convert(np.asarray(a["bbox"], np.float64)[None], bm, 0)[0])
+            labels.append(a.get("category_id", 0))
+            segm = a.get("segmentation")
+            if segm is not None:
+                from ..structures.masks import polygons_to_bitmask
+
+                if isinstance(segm, dict):
+                    from ..evaluation.rle import rle_decode
+
+                    mask_list.append(rle_decode(segm))
+                else:
+                    mask_list.append(
+                        polygons_to_bitmask([np.asarray(p) for p in segm], h, w)
+                    )
+            if a.get("keypoints"):
+                kps.append(np.asarray(a["keypoints"], np.float64).reshape(-1, 3))
+        if mask_list and len(mask_list) == len(boxes):
+            masks = np.stack(mask_list)
+        out = self.draw_instances(
+            boxes=np.asarray(boxes) if boxes else None,
+            labels=np.asarray(labels) if labels else None,
+            masks=masks,
+        )
+        if kps:
+            out = self.draw_keypoints(np.stack(kps))
+        if "sem_seg" in record:
+            out = self.draw_sem_seg(np.asarray(record["sem_seg"]))
+        return out
 
     def draw_keypoints(
         self,
