@@ -99,3 +99,14 @@ def test_lazyconfig_load_and_override():
         assert cfg.lr == 0.5
         obj = instantiate(cfg.model)
         assert obj.a == 9 and obj.b == 6
+
+
+def test_lazyconfig_to_py():
+    from vnext_tpu.config.lazy import LazyCall, LazyConfig
+    from vnext_tpu.models.layers import MLP
+
+    cfg = {"head": LazyCall(MLP)(in_dim=4, hidden_dim=8, num_layers=2), "lr": 0.02}
+    code = LazyConfig.to_py(cfg)
+    assert "cfg.lr = 0.02" in code
+    assert "L(vnext_tpu.models.layers.MLP)(" in code
+    assert "in_dim=4" in code and "num_layers=2" in code

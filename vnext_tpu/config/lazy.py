@@ -161,3 +161,30 @@ class LazyConfig:
 
         with open(filename, "w") as f:
             yaml.safe_dump(_to_plain(cfg), f, default_flow_style=None)
+
+    @staticmethod
+    def to_py(cfg: Any, prefix: str = "cfg.") -> str:
+        """Render a config tree as executable python statements (reference
+        config/lazy.py:399 LazyConfig.to_py): LazyCall nodes print as
+        ``L(target)(...)`` expressions, everything else as assignments."""
+
+        def _expr(node) -> str:
+            if isinstance(node, dict) and "_target_" in node:
+                target = node["_target_"]
+                tname = target if isinstance(target, str) else _dotted_name(target)
+                args = ", ".join(
+                    f"{k}={_expr(v)}" for k, v in sorted(node.items()) if k != "_target_"
+                )
+                return f"L({tname})({args})"
+            if isinstance(node, dict):
+                inner = ", ".join(f"{k!r}: {_expr(v)}" for k, v in sorted(node.items()))
+                return "{" + inner + "}"
+            if isinstance(node, (list, tuple)):
+                inner = ", ".join(_expr(v) for v in node)
+                return f"[{inner}]" if isinstance(node, list) else f"({inner})"
+            return repr(node)
+
+        lines = []
+        for k in sorted(cfg) if isinstance(cfg, dict) else []:
+            lines.append(f"{prefix}{k} = {_expr(cfg[k])}")
+        return "\n".join(lines) + "\n"
