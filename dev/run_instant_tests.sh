@@ -19,6 +19,7 @@ $BIN -m pytest -q \
     tests/test_native_eval.py \
     tests/test_hungarian.py \
     tests/test_misc_parity.py \
+    tests/test_msda_v7.py \
     tests/test_augmentation.py \
     tests/test_results_json_golden.py \
     tests/test_model_zoo.py

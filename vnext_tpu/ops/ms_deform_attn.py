@@ -193,13 +193,22 @@ def ms_deform_attn(
         from .ms_deform_attn_pallas import ms_deform_attn_pallas
 
         return ms_deform_attn_pallas(value, spatial_shapes, sampling_locations, attention_weights)
-    if impl == "auto" and jax.default_backend() == "tpu":
-        # 'auto' on TPU picks the Pallas kernel (19.8 ms vs 75 ms per encoder
-        # layer for the factorized XLA form at eval shapes; identical math,
-        # with dedicated Pallas backward kernels for dV/dLoc/dAttn).
-        from .ms_deform_attn_pallas import ms_deform_attn_pallas
+    if impl == "pallas_v7":
+        from .ms_deform_attn_pallas_v7 import ms_deform_attn_pallas_v7
 
-        return ms_deform_attn_pallas(value, spatial_shapes, sampling_locations, attention_weights)
+        return ms_deform_attn_pallas_v7(
+            value, spatial_shapes, sampling_locations, attention_weights
+        )
+    if impl == "auto" and jax.default_backend() == "tpu":
+        # 'auto' on TPU picks the v7 level-fused manual-DMA Pallas kernel
+        # (18.3 ms vs 20.7 ms for the v6 blocked kernel and 75 ms for the
+        # factorized XLA form per encoder layer at eval shapes; identical
+        # math, dedicated Pallas backward kernels for dV/dLoc/dAttn).
+        from .ms_deform_attn_pallas_v7 import ms_deform_attn_pallas_v7
+
+        return ms_deform_attn_pallas_v7(
+            value, spatial_shapes, sampling_locations, attention_weights
+        )
     if impl == "xla":
         return ms_deform_attn_factorized_xla(
             value, spatial_shapes, sampling_locations, attention_weights
