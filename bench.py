@@ -78,9 +78,10 @@ def main():
     elapsed = time.time() - t0
     fps = CLIP_LEN * n_iters / elapsed
 
-    # honest MFU: XLA compiled-graph FLOPs (pallas kernels contribute their
-    # declared CostEstimate; without one they undercount, making this a
-    # LOWER bound) over v5e bf16 peak 197 TF/s/chip
+    # utilization: XLA compiled-graph FLOPs (pallas kernels contribute their
+    # declared CostEstimate = executed selector-matmul flops incl. padding,
+    # so this is MXU busy-fraction, not minimal-algorithm MFU) over v5e bf16
+    # peak 197 TF/s/chip
     try:
         cost = jax.jit(infer).lower(params, frames, sizes).compile().cost_analysis()
         flops = float((cost or {}).get("flops", 0.0))
@@ -102,7 +103,7 @@ def main():
                     "compile_s": round(compile_s, 1),
                     "per_clip_ms": round(1000 * elapsed / n_iters, 1),
                     "compiled_gflops_per_clip": round(flops / 1e9, 1),
-                    "mfu_lower_bound": round(mfu, 4) if mfu else None,
+                    "mxu_utilization_est": round(mfu, 4) if mfu else None,
                 },
             }
         )
