@@ -240,4 +240,11 @@ def test_idol_full_model_parity(ref_modules):
     assert diff(ours["pred_boxes"], ref_out["pred_boxes"]) < 1e-4
     assert diff(ours["pred_inst_embed"], ref_out["pred_inst_embed"]) < 1e-4
     ref_masks = ref_out["pred_masks"].squeeze(2)  # [B, Q, 1, h, w] -> [B, Q, h, w]
-    assert diff(ours["pred_masks"], ref_masks) < 1e-3
+    # mask logits reach |30|; compare with a relative term so f32
+    # accumulation-order wobble (~4e-5 rel) can't flake the threshold
+    np.testing.assert_allclose(
+        np.asarray(ours["pred_masks"]),
+        ref_masks.detach().numpy(),
+        rtol=2e-4,
+        atol=1e-3,
+    )
