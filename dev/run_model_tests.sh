@@ -13,7 +13,8 @@ $BIN -m pytest -q \
     tests/test_backbone_variants.py \
     tests/test_reference_model_parity.py \
     tests/test_tta_full.py \
-    tests/test_device_tracker.py
+    tests/test_device_tracker.py \
+    tests/test_fused_tracker_path.py
 
 JAX_PLATFORMS=cpu $BIN - <<'PYEOF'
 import jax; jax.config.update('jax_platforms', 'cpu')

@@ -95,6 +95,9 @@ def do_eval(cfg, params=None):
             temporal_score_type=cfg.MODEL.IDOL.TEMPORAL_SCORE_TYPE,
             pixel_mean=cfg.MODEL.PIXEL_MEAN,
             pixel_std=cfg.MODEL.PIXEL_STD,
+            fused_tracker=cfg.TPU.FUSED_TRACKER,
+            fused_capacity=cfg.TPU.FUSED_TRACKER_CAPACITY,
+            fused_dets=cfg.TPU.FUSED_TRACKER_DETS,
         )
         evaluator = build_evaluator(cfg, dataset_name)
         evaluator.reset()

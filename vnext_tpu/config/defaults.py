@@ -159,7 +159,10 @@ _C.TPU.MAX_INSTANCES = 48          # fixed GT capacity per frame (padded)
 _C.TPU.IMAGE_SIZE_DIVISIBILITY = 32
 _C.TPU.TRAIN_IMAGE_SIZE = [480, 864]  # fixed padded train shape (H, W)
 _C.TPU.TEST_IMAGE_SIZE = [480, 864]   # fixed padded eval shape (H, W)
-_C.TPU.MSDA_IMPL = "auto"          # 'jnp' | 'pallas' | 'auto'
+_C.TPU.MSDA_IMPL = "auto"          # 'jnp' | 'xla' | 'pallas' | 'pallas_v7' | 'auto'
+_C.TPU.FUSED_TRACKER = False       # run the IDOL tracker on device (fixed caps)
+_C.TPU.FUSED_TRACKER_CAPACITY = 32 # tracklet slots for the fused tracker
+_C.TPU.FUSED_TRACKER_DETS = 64     # detections/frame cap for the fused tracker
 _C.TPU.DONATE_STATE = True
 
 

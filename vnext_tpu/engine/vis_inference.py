@@ -73,6 +73,9 @@ class IDOLVideoInference:
         pixel_mean: Sequence[float] = (123.675, 116.280, 103.530),
         pixel_std: Sequence[float] = (58.395, 57.120, 57.375),
         image_loader=None,
+        fused_tracker: bool = False,
+        fused_capacity: int = 32,
+        fused_dets: int = 64,
     ):
         self.model = model
         self.params = params
@@ -92,6 +95,10 @@ class IDOLVideoInference:
         self.pixel_mean = np.asarray(pixel_mean, np.float32)
         self.pixel_std = np.asarray(pixel_std, np.float32)
         self.image_loader = image_loader or self._default_loader
+        self.fused_tracker = fused_tracker
+        self.fused_capacity = fused_capacity
+        self.fused_dets = fused_dets
+        self._fused_clip = None  # built lazily (jit per clip shape)
 
         def infer(p, imgs, sizes):
             # device-side normalization keeps host->HBM transfers uint8
@@ -144,10 +151,117 @@ class IDOLVideoInference:
                 outs[k].append(np.asarray(out[k])[:n])
         return {k: np.concatenate(v, axis=0) for k, v in outs.items()}
 
+    # ------------------------------------------------------------- fused path
+    def _make_fused_clip(self):
+        """Jitted per-clip candidate selection + NMS + on-device tracker scan.
+
+        The fully-fused serving variant: the whole per-frame association
+        (reference idol.py:328-404) runs on device with fixed shapes; only the
+        final video-dict assembly stays on host. Candidate order matches the
+        host path (score-descending after class-aware NMS); capacity caps
+        (fused_dets detections/frame, fused_capacity tracklets) are the only
+        semantic difference and only bind under overflow.
+        """
+        from ..ops.nms import batched_nms_mask
+        from ..tracking.idol_tracker_device import tracker_step
+
+        kw = dict(
+            nms_thr_pre=self.nms_pre,
+            nms_thr_post=0.05,
+            init_score_thr=0.2,
+            addnew_score_thr=self.add_new_score,
+            match_score_thr=0.5,
+            memo_tracklet_frames=10,
+            memo_momentum=0.8,
+            match_metric="bisoftmax",
+            long_match=self.inference_tw,
+            frame_weight=(self.inference_tw | self.inference_fw),
+            temporal_weight=self.inference_tw,
+        )
+        thres = self.inference_select_thres
+
+        def run_clip(state, logits, boxes, embeds, masks, frame_valid, frame0):
+            K = min(self.fused_dets, logits.shape[1])
+
+            def body(carry, xs):
+                st, fid = carry
+                lg, bx, em, mk, fv = xs
+                scores = jax.nn.sigmoid(lg.astype(jnp.float32))      # [Q, C]
+                mx = scores.max(-1)
+                cls = scores.argmax(-1).astype(jnp.int32)
+                cand = mx > thres
+                force = jnp.zeros_like(cand).at[jnp.argmax(mx)].set(True)
+                cand = jnp.where(cand.any(), cand, force)
+                xyxy = box_cxcywh_to_xyxy(bx)
+                keepn = batched_nms_mask(xyxy, mx, cls, 0.9, valid=cand)
+                s = jnp.where(keepn, mx, -jnp.inf)
+                top_s, qidx = jax.lax.top_k(s, K)                    # score-desc
+                dvalid = jnp.isfinite(top_s) & fv
+                det_boxes = jnp.concatenate([bx[qidx], mx[qidx, None]], -1)
+                det_masks = jax.nn.sigmoid(mk[qidx].astype(jnp.float32)) > 0.5
+                new_st, ids, keep = tracker_step(
+                    st, det_boxes, cls[qidx], det_masks, em[qidx].astype(jnp.float32),
+                    dvalid, fid, **kw)
+                new_st = jax.tree.map(lambda a, b: jnp.where(fv, a, b), new_st, st)
+                return (new_st, fid + 1), (ids, keep, qidx)
+
+            (state, _), (ids, keep, qidx) = jax.lax.scan(
+                body, (state, frame0),
+                (logits, boxes, embeds, masks, frame_valid))
+            return state, ids, keep, qidx
+
+        return jax.jit(run_clip)
+
+    def fused_track_video(self, outputs) -> List[List[Tuple[int, int]]]:
+        """Run the on-device tracker over whole-video outputs; returns
+        per-frame [(query, track_id), ...] like the host association."""
+        from ..tracking.idol_tracker_device import init_state
+
+        if self._fused_clip is None:
+            self._fused_clip = self._make_fused_clip()
+        logits = np.asarray(outputs["pred_logits"])
+        T = len(logits)
+        cl = self.batch_infer_len
+        state = init_state(
+            self.fused_capacity, min(self.fused_dets, logits.shape[1]),
+            outputs["pred_inst_embed"].shape[-1],
+            memory_len=self.memory_len,
+        )
+        per_frame: List[List[Tuple[int, int]]] = []
+        for c in range(max(1, math.ceil(T / cl))):
+            sl = slice(c * cl, (c + 1) * cl)
+            n = len(logits[sl])
+            pad = cl - n
+
+            def pad_clip(a):
+                a = np.asarray(a[sl])
+                if pad:
+                    a = np.concatenate([a, np.zeros((pad, *a.shape[1:]), a.dtype)])
+                return jnp.asarray(a)
+
+            fv = jnp.asarray([True] * n + [False] * pad)
+            state, ids, keep, qidx = self._fused_clip(
+                state, pad_clip(outputs["pred_logits"]),
+                pad_clip(outputs["pred_boxes"]),
+                pad_clip(outputs["pred_inst_embed"]),
+                pad_clip(outputs["pred_masks"]),
+                fv, jnp.asarray(c * cl, jnp.int32))
+            ids, keep, qidx = (np.asarray(ids), np.asarray(keep), np.asarray(qidx))
+            for t in range(n):
+                per_frame.append(
+                    [(int(q), int(i)) for q, i, k in
+                     zip(qidx[t], ids[t], keep[t]) if k and i > -1]
+                )
+        return per_frame
+
     # ------------------------------------------------------------------ video
     def __call__(self, record: dict) -> Dict:
         frames, size = self._prepare_frames(record)
         outputs = self._run_clips(frames, size)
+        ori_size = (record["height"], record["width"])
+        if self.fused_tracker:
+            per_frame = self.fused_track_video(outputs)
+            return self._build_video_dict(outputs, per_frame, ori_size, size)
         tracker = IDOLTracker(
             init_score_thr=0.2,
             obj_score_thr=0.1,
@@ -161,17 +275,16 @@ class IDOLVideoInference:
             temporal_weight=self.inference_tw,
             memory_len=self.memory_len,
         )
-        ori_size = (record["height"], record["width"])
         return self._assemble_video(outputs, tracker, ori_size, size)
 
     def _assemble_video(self, outputs, tracker, ori_size, image_size) -> Dict:
-        """Reference: idol.py:328-473 inference()."""
+        """Reference: idol.py:328-473 inference(). Host tracker association."""
         logits = outputs["pred_logits"]        # [T, Q, C]
         masks = outputs["pred_masks"]          # [T, Q, H4, W4]
         boxes = outputs["pred_boxes"]          # [T, Q, 4]
         embeds = outputs["pred_inst_embed"]    # [T, Q, E]
         vid_len = len(logits)
-        video_dict: Dict[int, Dict] = {}
+        per_frame = []
         for t in range(vid_len):
             scores_t = _sigmoid(logits[t])
             max_score = scores_t.max(axis=1)
@@ -192,7 +305,19 @@ class IDOLVideoInference:
             _, _, ids, kept_indices = tracker.match(
                 det_bboxes, det_labels, det_masks, track_feats, t, list(indices)
             )
-            kept = [(q, int(i)) for q, i in zip(kept_indices, ids) if i > -1]
+            per_frame.append(
+                [(q, int(i)) for q, i in zip(kept_indices, ids) if i > -1]
+            )
+        return self._build_video_dict(outputs, per_frame, ori_size, image_size)
+
+    def _build_video_dict(self, outputs, per_frame, ori_size, image_size) -> Dict:
+        """Shared mask/score assembly from per-frame (query, track-id) pairs."""
+        logits = outputs["pred_logits"]
+        masks = outputs["pred_masks"]
+        boxes = outputs["pred_boxes"]
+        video_dict: Dict[int, Dict] = {}
+        for t, kept in enumerate(per_frame):
+            scores_t = _sigmoid(logits[t])
             for q, tid in kept:
                 entry = video_dict.setdefault(
                     tid,
