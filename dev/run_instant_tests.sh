@@ -22,6 +22,7 @@ $BIN -m pytest -q \
     tests/test_msda_v7.py \
     tests/test_augmentation.py \
     tests/test_results_json_golden.py \
+    tests/test_engine.py \
     tests/test_model_zoo.py
 
 # end-to-end: 3 train iters + eval + verify_results from yaml (synthetic data)

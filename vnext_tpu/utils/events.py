@@ -47,15 +47,22 @@ class HistoryBuffer:
         return self._latest
 
     def median(self, window_size: Optional[int] = None) -> float:
-        vals = sorted(self._window)
+        """Median of the last ``window_size`` values (fvcore HistoryBuffer)."""
+        vals = list(self._window)
+        if window_size is not None:
+            vals = vals[-window_size:]
         if not vals:
             return float("nan")
+        vals = sorted(vals)
         return vals[len(vals) // 2]
 
     def avg(self, window_size: Optional[int] = None) -> float:
-        if not self._window:
+        vals = list(self._window)
+        if window_size is not None:
+            vals = vals[-window_size:]
+        if not vals:
             return float("nan")
-        return sum(self._window) / len(self._window)
+        return sum(vals) / len(vals)
 
     def global_avg(self) -> float:
         return self._global_avg
