@@ -143,10 +143,17 @@ def _v7_kernel(
                     jax.lax.broadcasted_iota(jnp.int32, (HB, TQP), 0) + r0
                 ).astype(jnp.float32)
                 ryw = jnp.maximum(0.0, 1.0 - jnp.abs(y - iota_hb)) * attn  # [HB, TQP]
-                s = ryw[0:1, :] * u[0:D, :]
-                for h in range(1, HB):
-                    s = s + ryw[h : h + 1, :] * u[h * D : (h + 1) * D, :]
-                acc_ref[:] += s
+                # pairwise tree-sum: f32 adds aren't reassociated by the
+                # compiler, so a serial chain would hide VPU ILP
+                terms = [
+                    ryw[h : h + 1, :] * u[h * D : (h + 1) * D, :] for h in range(HB)
+                ]
+                while len(terms) > 1:
+                    terms = [
+                        terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+                        for i in range(0, len(terms), 2)
+                    ]
+                acc_ref[:] += terms[0]
 
     out_ref[0] = jnp.dot(
         acc_ref[:], g3_ref[:].astype(jnp.float32), preferred_element_type=jnp.float32
