@@ -1,0 +1,38 @@
+"""Demo CLI smoke test (reference surface: demo/demo.py on a frame directory)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+def test_demo_runs_on_synthetic_frames(tmp_path, monkeypatch):
+    frames_dir = tmp_path / "frames"
+    out_dir = tmp_path / "out"
+    frames_dir.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        Image.fromarray(
+            rng.randint(0, 255, (64, 96, 3), np.uint8)
+        ).save(frames_dir / f"{i:03d}.png")
+
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "demo_main", os.path.join(os.path.dirname(__file__), "..", "demo", "demo.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["demo.py", "--config-file", "configs/quick_schedules/idol_instant_test.yaml",
+         "--input", str(frames_dir), "--output", str(out_dir)],
+    )
+    mod.main()
+    outs = sorted(os.listdir(out_dir))
+    assert len(outs) == 3
+    first = np.asarray(Image.open(out_dir / outs[0]))
+    assert first.shape[:2] == (64, 96)
