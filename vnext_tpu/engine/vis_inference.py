@@ -141,14 +141,25 @@ class IDOLVideoInference:
         n_clips = max(1, math.ceil(t / cl))
         outs = {"pred_logits": [], "pred_boxes": [], "pred_inst_embed": [], "pred_masks": []}
         sizes = np.asarray([size] * cl, np.int32)
+        # depth-2 pipeline: dispatch clip c+1 (async) before draining clip c's
+        # outputs, so H2D + device compute overlap the D2H/numpy of the
+        # previous clip (double-buffered streaming; the bounded depth keeps
+        # long videos from queueing all mask tensors in HBM)
+        pending = None  # (device outputs, true frame count)
         for c in range(n_clips):
             chunk = frames[c * cl : (c + 1) * cl]
             n = chunk.shape[0]
             if n < cl:  # pad to the fixed clip length so the jit signature is stable
                 chunk = np.concatenate([chunk, np.zeros((cl - n, *chunk.shape[1:]), chunk.dtype)])
             out = self._infer(self.params, jnp.asarray(chunk), jnp.asarray(sizes))
-            for k in outs:
-                outs[k].append(np.asarray(out[k])[:n])
+            if pending is not None:
+                pout, pn = pending
+                for k in outs:
+                    outs[k].append(np.asarray(pout[k])[:pn])
+            pending = (out, n)
+        pout, pn = pending
+        for k in outs:
+            outs[k].append(np.asarray(pout[k])[:pn])
         return {k: np.concatenate(v, axis=0) for k, v in outs.items()}
 
     # ------------------------------------------------------------- fused path
