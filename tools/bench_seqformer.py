@@ -11,6 +11,8 @@ import json
 import os
 import time
 
+import sys
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 import jax
 
 os.makedirs("/tmp/jax_cache", exist_ok=True)
@@ -30,12 +32,12 @@ def main():
 
     cfg = get_cfg()
     add_seqformer_config(cfg)
-    cfg.MODEL.SEQFORMER.NUM_CLASSES = 40
+    cfg.MODEL.SeqFormer.NUM_CLASSES = 40
     model = build_seqformer_model(cfg)
 
     rng = np.random.RandomState(0)
-    frames = jnp.asarray(rng.randint(0, 255, (CLIP_LEN, H, W, 3)), jnp.uint8)
-    sizes = jnp.asarray([[H, W - 11]] * CLIP_LEN, jnp.int32)
+    frames = jnp.asarray(rng.randint(0, 255, (1, CLIP_LEN, H, W, 3)), jnp.uint8)
+    sizes = jnp.asarray([[H, W - 11]], jnp.int32)
     mean = jnp.asarray([123.675, 116.28, 103.53])
     std = jnp.asarray([58.395, 57.12, 57.375])
 
