@@ -27,6 +27,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config-file", required=True)
+    parser.add_argument("--model-type", default="idol",
+                        choices=["idol", "seqformer", "minvis"])
     parser.add_argument("--input", required=True, help="directory of frames or glob")
     parser.add_argument("--output", required=True)
     parser.add_argument("--confidence-threshold", type=float, default=0.3)
@@ -36,14 +38,16 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from vnext_tpu.config import add_idol_config, get_cfg
+    from vnext_tpu.config import (add_idol_config, add_maskformer_config,
+                                  add_seqformer_config, get_cfg)
     from vnext_tpu.checkpoint.checkpointer import load_weights
     from vnext_tpu.engine.vis_inference import IDOLVideoInference
     from vnext_tpu.models.idol import IDOL, build_idol_model
     from vnext_tpu.utils.visualizer import VideoVisualizer
 
     cfg = get_cfg()
-    add_idol_config(cfg)
+    {"idol": add_idol_config, "seqformer": add_seqformer_config,
+     "minvis": add_maskformer_config}[args.model_type](cfg)
     cfg.merge_from_file(args.config_file)
     if args.opts:
         cfg.merge_from_list(args.opts)
@@ -62,24 +66,54 @@ def main():
         "video_id": 0,
     }
 
-    model = build_idol_model(cfg)
     h, w = cfg.TPU.TEST_IMAGE_SIZE
-    params = model.init(
-        {"params": jax.random.PRNGKey(0)},
-        jnp.zeros((1, h, w, 3)), jnp.asarray([[h, w]], jnp.int32), method=IDOL.inference,
-    )["params"]
-    if cfg.MODEL.WEIGHTS:
-        params = load_weights(cfg.MODEL.WEIGHTS, params)
-
-    runner = IDOLVideoInference(
-        model, params,
+    common = dict(
         test_short_edge=cfg.INPUT.MIN_SIZE_TEST,
         test_max_size=cfg.INPUT.MAX_SIZE_TEST,
         target_size=tuple(cfg.TPU.TEST_IMAGE_SIZE),
-        batch_infer_len=cfg.MODEL.IDOL.BATCH_INFER_LEN,
         pixel_mean=cfg.MODEL.PIXEL_MEAN,
         pixel_std=cfg.MODEL.PIXEL_STD,
     )
+    key = jax.random.PRNGKey(0)
+    if args.model_type == "idol":
+        model = build_idol_model(cfg)
+        params = model.init(
+            {"params": key}, jnp.zeros((1, h, w, 3)),
+            jnp.asarray([[h, w]], jnp.int32), method=IDOL.inference,
+        )["params"]
+        if cfg.MODEL.WEIGHTS:
+            params = load_weights(cfg.MODEL.WEIGHTS, params)
+        runner = IDOLVideoInference(
+            model, params,
+            batch_infer_len=cfg.MODEL.IDOL.BATCH_INFER_LEN, **common)
+    elif args.model_type == "seqformer":
+        from vnext_tpu.engine.seqformer_inference import SeqFormerVideoInference
+        from vnext_tpu.models.seqformer import SeqFormer, build_seqformer_model
+
+        model = build_seqformer_model(cfg)
+        params = model.init(
+            {"params": key}, jnp.zeros((1, 1, h, w, 3)),
+            jnp.asarray([[h, w]], jnp.int32), method=SeqFormer.inference,
+        )["params"]
+        if cfg.MODEL.WEIGHTS:
+            params = load_weights(cfg.MODEL.WEIGHTS, params)
+        runner = SeqFormerVideoInference(
+            model, params,
+            clip_matching=cfg.MODEL.SeqFormer.CLIP_MATCHING,
+            clip_length=cfg.MODEL.SeqFormer.CLIP_LENGTH,
+            clip_stride=cfg.MODEL.SeqFormer.CLIP_STRIDE, **common)
+    else:
+        from vnext_tpu.engine.minvis_inference import MinVISVideoInference
+        from vnext_tpu.models.mask2former import MaskFormer, build_maskformer_model
+
+        model = build_maskformer_model(cfg)
+        params = model.init(
+            {"params": key}, jnp.zeros((1, h, w, 3)),
+            jnp.asarray([[h, w]], jnp.int32), method=MaskFormer.inference,
+        )["params"]
+        if cfg.MODEL.WEIGHTS:
+            params = load_weights(cfg.MODEL.WEIGHTS, params)
+        runner = MinVISVideoInference(model, params, **common)
     out = runner(record)
 
     os.makedirs(args.output, exist_ok=True)

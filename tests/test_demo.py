@@ -8,7 +8,15 @@ import pytest
 from PIL import Image
 
 
-def test_demo_runs_on_synthetic_frames(tmp_path, monkeypatch):
+CONFIGS = {
+    "idol": "configs/quick_schedules/idol_instant_test.yaml",
+    "seqformer": "configs/quick_schedules/seqformer_instant_test.yaml",
+    "minvis": "configs/quick_schedules/minvis_instant_test.yaml",
+}
+
+
+@pytest.mark.parametrize("model_type", ["idol", "seqformer", "minvis"])
+def test_demo_runs_on_synthetic_frames(tmp_path, monkeypatch, model_type):
     frames_dir = tmp_path / "frames"
     out_dir = tmp_path / "out"
     frames_dir.mkdir()
@@ -28,7 +36,8 @@ def test_demo_runs_on_synthetic_frames(tmp_path, monkeypatch):
 
     monkeypatch.setattr(
         sys, "argv",
-        ["demo.py", "--config-file", "configs/quick_schedules/idol_instant_test.yaml",
+        ["demo.py", "--config-file", CONFIGS[model_type],
+         "--model-type", model_type,
          "--input", str(frames_dir), "--output", str(out_dir)],
     )
     mod.main()

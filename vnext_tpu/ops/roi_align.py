@@ -77,8 +77,31 @@ def roi_align(
     wy = _axis_weights(y1, bin_h, out_h, s, h)  # [N, out_h*s, H]
     wx = _axis_weights(x1, bin_w, out_w, s, w)  # [N, out_w*s, W]
 
-    feats = features[batch_idx]                  # [N, H, W, C]
-    t = jnp.einsum("nqh,nhwc->nqwc", wy, feats)  # [N, out_h*s, W, C]
-    o = jnp.einsum("npw,nqwc->nqpc", wx, t)      # [N, out_h*s, out_w*s, C]
-    o = o.reshape(rois.shape[0], out_h, s, out_w, s, c).mean(axis=(2, 4))
+    # Fold the ROI->image selection into the row weights (one-hot over B), so
+    # the H contraction is a plain dot against the flattened [B*H, W*C] map —
+    # never materializing a per-ROI copy of the features (a naive
+    # features[batch_idx] broadcast is O(N*H*W*C): 18 GB at COCO eval shapes).
+    n = rois.shape[0]
+    qh, qw = out_h * s, out_w * s
+    onehot = jax.nn.one_hot(batch_idx, b, dtype=wy.dtype)          # [N, B]
+    wyb = (wy[:, :, None, :] * onehot[:, None, :, None]).reshape(n, qh, b * h)
+    fm = features.reshape(b * h, w * c)
+
+    # chunk over ROIs to bound the [chunk, qh, W, C] intermediate
+    chunk = 64
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    if n_pad != n:
+        wyb = jnp.pad(wyb, ((0, n_pad - n), (0, 0), (0, 0)))
+        wx = jnp.pad(wx, ((0, n_pad - n), (0, 0), (0, 0)))
+    wyb = wyb.reshape(n_pad // chunk, chunk, qh, b * h)
+    wxc = wx.reshape(n_pad // chunk, chunk, qw, w)
+
+    def one_chunk(args):
+        wyb_c, wx_c = args
+        t = (wyb_c.reshape(chunk * qh, b * h) @ fm).reshape(chunk, qh, w, c)
+        return jnp.einsum("npw,nqwc->nqpc", wx_c, t)               # [chunk, qh, qw, C]
+
+    o = jax.lax.map(one_chunk, (wyb, wxc))
+    o = o.reshape(n_pad, qh, qw, c)[:n]
+    o = o.reshape(n, out_h, s, out_w, s, c).mean(axis=(2, 4))
     return o
