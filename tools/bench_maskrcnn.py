@@ -34,7 +34,7 @@ def main():
     from vnext_tpu.models.rcnn import GeneralizedRCNN
     from vnext_tpu.models.retinanet import DetTargets
 
-    model = GeneralizedRCNN(num_classes=80, mask_on=True)
+    model = GeneralizedRCNN(num_classes=80, mask_on=True, dtype=jnp.bfloat16)
 
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.randn(B, H, W, 3), jnp.float32)
@@ -68,29 +68,35 @@ def main():
     tx = optax.adamw(1e-4, weight_decay=1e-4)
     opt_state = tx.init(params)
 
-    @jax.jit
-    def step(params, opt_state, images, key):
-        def loss_fn(p):
-            losses = model.apply({"params": p}, images, sizes, targets,
-                                 train=True, rng_key=key, gt_masks=gt_masks)
-            return sum(losses.values()), losses
-        (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+    n_iters = 10
 
-    key = jax.random.PRNGKey(0)
+    # chained scan: all steps inside one jit — per-call dispatch latency on
+    # remote-TPU backends would otherwise dominate a dependent step loop
+    @jax.jit
+    def run(params, opt_state, keys):
+        def step(carry, key):
+            params, opt_state = carry
+            def loss_fn(p):
+                losses = model.apply({"params": p}, images, sizes, targets,
+                                     train=True, rng_key=key, gt_masks=gt_masks)
+                return sum(losses.values())
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+        (params, opt_state), losses = jax.lax.scan(
+            step, (params, opt_state), keys)
+        return params, opt_state, losses
+
+    keys = jax.random.split(jax.random.PRNGKey(0), n_iters)
     t0 = time.time()
-    params, opt_state, loss = step(params, opt_state, images, key)
-    jax.block_until_ready(loss)
+    out = run(params, opt_state, keys)
+    jax.block_until_ready(out)
     compile_s = time.time() - t0
 
-    n_iters = 10
     t0 = time.time()
-    for i in range(n_iters):
-        params, opt_state, loss = step(params, opt_state, images,
-                                       jax.random.fold_in(key, i))
-    jax.block_until_ready(loss)
+    out = run(params, opt_state, keys)
+    jax.block_until_ready(out)
     elapsed = time.time() - t0
     img_s = B * n_iters / elapsed
     print(json.dumps({

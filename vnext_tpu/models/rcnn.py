@@ -309,16 +309,16 @@ class GeneralizedRCNN(nn.Module):
             # the [B*K, H, W, 1] mask stack as a feature batch and roi_align with
             # batch index b*K + matched_gt_idx, so every ROI pools exactly its
             # matched instance.
+            from ..ops.roi_align import roi_align_per_item
+
             k = gt_masks.shape[1]
             rb = sel_rois.shape[1]
             m_size = head_out["mask_logits"].shape[2]          # 2 * pooler_size
-            mask_bank = gt_masks.reshape(-1, *gt_masks.shape[2:])[..., None]  # [B*K,H,W,1]
-            flat_idx = (jnp.arange(b)[:, None] * k + sel_gt_idx).reshape(-1, 1)
-            flat_mask_rois = jnp.concatenate(
-                [flat_idx.astype(jnp.float32), sel_rois.reshape(-1, 4)], 1
-            )
-            gt_crop = roi_align(mask_bank, flat_mask_rois, (m_size, m_size),
-                                spatial_scale=1.0, sampling_ratio=2)[..., 0]
+            mask_bank = gt_masks.reshape(-1, *gt_masks.shape[2:])  # [B*K, H, W]
+            flat_idx = (jnp.arange(b)[:, None] * k + sel_gt_idx).reshape(-1)
+            gt_crop = roi_align_per_item(
+                mask_bank, sel_rois.reshape(-1, 4), flat_idx, (m_size, m_size),
+                spatial_scale=1.0, sampling_ratio=2)
             gt_crop = (gt_crop.reshape(b, rb, m_size, m_size) > 0.5).astype(jnp.float32)
             # per-ROI logits of the GT class channel
             cls_ch = jnp.clip(gt_cls, 0, self.num_classes - 1)

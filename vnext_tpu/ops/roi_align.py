@@ -47,6 +47,61 @@ def _axis_weights(starts: Array, bin_size: Array, n_bins: int, s: int, size: int
     return w
 
 
+def _roi_weights(rois4, out_h, out_w, s, h, w, spatial_scale, aligned):
+    offset = 0.5 if aligned else 0.0
+    x1 = rois4[:, 0] * spatial_scale - offset
+    y1 = rois4[:, 1] * spatial_scale - offset
+    x2 = rois4[:, 2] * spatial_scale - offset
+    y2 = rois4[:, 3] * spatial_scale - offset
+    roi_w = x2 - x1
+    roi_h = y2 - y1
+    if not aligned:
+        roi_w = jnp.maximum(roi_w, 1.0)
+        roi_h = jnp.maximum(roi_h, 1.0)
+    wy = _axis_weights(y1, roi_h / out_h, out_h, s, h)  # [N, out_h*s, H]
+    wx = _axis_weights(x1, roi_w / out_w, out_w, s, w)  # [N, out_w*s, W]
+    return wy, wx
+
+
+def roi_align_per_item(
+    bank: Array,            # [M, H, W] single-channel bank (e.g. GT bitmasks)
+    rois4: Array,           # [N, 4] xyxy in bank coords
+    item_idx: Array,        # [N] int — each ROI samples bank[item_idx]
+    output_size: Tuple[int, int] = (28, 28),
+    spatial_scale: float = 1.0,
+    sampling_ratio: int = 2,
+    aligned: bool = True,
+    chunk: int = 32,
+) -> Array:
+    """Diagonal ROIAlign: ROI i pools from its OWN bank item (the mask-target
+    crop of mask_rcnn_loss). O(N*qh*H*W) — routing this through the generic
+    pooler's batch one-hot would cost M/qh times more (M=B*K items)."""
+    m, h, w = bank.shape
+    out_h, out_w = output_size
+    s = max(sampling_ratio, 1)
+    wy, wx = _roi_weights(rois4, out_h, out_w, s, h, w, spatial_scale, aligned)
+
+    n = rois4.shape[0]
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    if n_pad != n:
+        wy = jnp.pad(wy, ((0, n_pad - n), (0, 0), (0, 0)))
+        wx = jnp.pad(wx, ((0, n_pad - n), (0, 0), (0, 0)))
+        item_idx = jnp.pad(item_idx, (0, n_pad - n))
+    g = n_pad // chunk
+
+    def one_chunk(args):
+        wy_c, wx_c, idx_c = args
+        bk = bank[idx_c]                                   # [chunk, H, W]
+        t = jnp.einsum("nqh,nhw->nqw", wy_c, bk)
+        return jnp.einsum("npw,nqw->nqp", wx_c, t)         # [chunk, qh, qw]
+
+    o = jax.lax.map(one_chunk, (wy.reshape(g, chunk, out_h * s, h),
+                                wx.reshape(g, chunk, out_w * s, w),
+                                item_idx.reshape(g, chunk)))
+    o = o.reshape(n_pad, out_h * s, out_w * s)[:n]
+    return o.reshape(n, out_h, s, out_w, s).mean(axis=(2, 4))
+
+
 def roi_align(
     features: Array,        # [B, H, W, C]
     rois: Array,            # [N, 5]: (batch_idx, x1, y1, x2, y2) in image coords
@@ -61,21 +116,7 @@ def roi_align(
     s = max(sampling_ratio, 1)
 
     batch_idx = rois[:, 0].astype(jnp.int32)
-    offset = 0.5 if aligned else 0.0
-    x1 = rois[:, 1] * spatial_scale - offset
-    y1 = rois[:, 2] * spatial_scale - offset
-    x2 = rois[:, 3] * spatial_scale - offset
-    y2 = rois[:, 4] * spatial_scale - offset
-    roi_w = x2 - x1
-    roi_h = y2 - y1
-    if not aligned:
-        roi_w = jnp.maximum(roi_w, 1.0)
-        roi_h = jnp.maximum(roi_h, 1.0)
-    bin_w = roi_w / out_w
-    bin_h = roi_h / out_h
-
-    wy = _axis_weights(y1, bin_h, out_h, s, h)  # [N, out_h*s, H]
-    wx = _axis_weights(x1, bin_w, out_w, s, w)  # [N, out_w*s, W]
+    wy, wx = _roi_weights(rois[:, 1:5], out_h, out_w, s, h, w, spatial_scale, aligned)
 
     # Fold the ROI->image selection into the row weights (one-hot over B), so
     # the H contraction is a plain dot against the flattened [B*H, W*C] map —
