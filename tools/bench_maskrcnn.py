@@ -27,7 +27,9 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-B, H, W, K = 2, 832, 1344, 24
+import os as _os
+B = int(_os.environ.get("VNEXT_MRCNN_BS", "2"))
+H, W, K = 832, 1344, 24
 
 
 def main():
@@ -73,7 +75,7 @@ def main():
     # chained scan: all steps inside one jit — per-call dispatch latency on
     # remote-TPU backends would otherwise dominate a dependent step loop
     @jax.jit
-    def run(params, opt_state, keys):
+    def run(params, opt_state, keys, images, gt_masks):
         def step(carry, key):
             params, opt_state = carry
             def loss_fn(p):
@@ -90,17 +92,17 @@ def main():
 
     keys = jax.random.split(jax.random.PRNGKey(0), n_iters)
     t0 = time.time()
-    out = run(params, opt_state, keys)
+    out = run(params, opt_state, keys, images, gt_masks)
     jax.block_until_ready(out)
     compile_s = time.time() - t0
 
     t0 = time.time()
-    out = run(params, opt_state, keys)
+    out = run(params, opt_state, keys, images, gt_masks)
     jax.block_until_ready(out)
     elapsed = time.time() - t0
     img_s = B * n_iters / elapsed
     print(json.dumps({
-        "metric": "Mask R-CNN R50-FPN train throughput (832x1344, bs=2/chip)",
+        "metric": f"Mask R-CNN R50-FPN train throughput (832x1344, bs={B}/chip)",
         "value": round(img_s, 2),
         "unit": "img/s/chip",
         "vs_v100": round(img_s / 7.75, 2),
