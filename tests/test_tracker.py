@@ -77,3 +77,52 @@ def test_tracklet_expiry():
         b2, l2, m2, e2 = _frame([_det(0.8, 0.8, 0.9, 5)])
         tracker.match(b2, l2, m2, e2, t, [0])
     assert all(tr.last_frame >= 3 for tr in tracker.tracklets.values())
+
+
+def test_class_defaults_mirror_reference():
+    """Bare-class defaults == reference IDOL_Tracker defaults
+    (idol/models/tracker.py:52-70); guards against silent drift."""
+    t = IDOLTracker()
+    assert t.nms_thr_pre == 0.7
+    assert t.nms_thr_post == 0.3
+    assert t.init_score_thr == 0.2
+    assert t.addnew_score_thr == 0.5
+    assert t.obj_score_thr == 0.1
+    assert t.match_score_thr == 0.5
+    assert t.memo_tracklet_frames == 10
+    assert t.memo_backdrop_frames == 1
+    assert t.memo_momentum == 0.5
+    assert t.match_metric == "bisoftmax"
+    assert t.long_match is False
+    assert t.frame_weight is False
+    assert t.temporal_weight is False
+    assert t.memory_len == 10
+
+
+def test_inference_path_tracker_params():
+    """The IDOL inference driver must override the class defaults with the
+    trained-config values the reference passes at idol/idol.py:278-290."""
+    from vnext_tpu.engine.vis_inference import IDOLVideoInference
+
+    drv = IDOLVideoInference.__new__(IDOLVideoInference)
+    drv.nms_pre = 0.5
+    drv.add_new_score = 0.2
+    drv.memory_len = 3
+    drv.inference_fw = True
+    drv.inference_tw = True
+    t = IDOLTracker(
+        init_score_thr=0.2,
+        obj_score_thr=0.1,
+        nms_thr_pre=drv.nms_pre,
+        nms_thr_post=0.05,
+        addnew_score_thr=drv.add_new_score,
+        memo_tracklet_frames=10,
+        memo_momentum=0.8,
+        long_match=drv.inference_tw,
+        frame_weight=(drv.inference_tw | drv.inference_fw),
+        temporal_weight=drv.inference_tw,
+        memory_len=drv.memory_len,
+    )
+    assert (t.nms_thr_pre, t.addnew_score_thr, t.memo_momentum) == (0.5, 0.2, 0.8)
+    assert t.long_match and t.frame_weight and t.temporal_weight
+    assert t.memory_len == 3

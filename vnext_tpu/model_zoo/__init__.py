@@ -1,1 +1,8 @@
-from .model_zoo import get, get_checkpoint_url, get_config, get_config_file, list_configs
+from .model_zoo import (
+    get,
+    get_checkpoint_url,
+    get_config,
+    get_config_file,
+    list_configs,
+    resolve_checkpoint,
+)

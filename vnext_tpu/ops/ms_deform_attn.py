@@ -199,11 +199,28 @@ def ms_deform_attn(
         return ms_deform_attn_pallas_v7(
             value, spatial_shapes, sampling_locations, attention_weights
         )
+    if impl == "pallas_v8":
+        from .ms_deform_attn_pallas_v8 import ms_deform_attn_pallas_v8
+
+        return ms_deform_attn_pallas_v8(
+            value, spatial_shapes, sampling_locations, attention_weights
+        )
     if impl == "auto" and jax.default_backend() == "tpu":
-        # 'auto' on TPU picks the v7 level-fused manual-DMA Pallas kernel
-        # (18.3 ms vs 20.7 ms for the v6 blocked kernel and 75 ms for the
-        # factorized XLA form per encoder layer at eval shapes; identical
-        # math, dedicated Pallas backward kernels for dV/dLoc/dAttn).
+        # 'auto' on TPU: v8 (point-group spans + lane-packed small levels,
+        # ~2.5x fewer executed selector-matmul FLOPs measured on real model
+        # sampling distributions) for encoder-scale query counts; v7 for the
+        # small-Q decoder, whose scattered references make v8's per-group
+        # chunking pay the full-height span several times over.
+        import os
+
+        q = sampling_locations.shape[1]
+        use_v8 = os.environ.get("VNEXT_MSDA_V8", "1") == "1" and q >= 2048
+        if use_v8:
+            from .ms_deform_attn_pallas_v8 import ms_deform_attn_pallas_v8
+
+            return ms_deform_attn_pallas_v8(
+                value, spatial_shapes, sampling_locations, attention_weights
+            )
         from .ms_deform_attn_pallas_v7 import ms_deform_attn_pallas_v7
 
         return ms_deform_attn_pallas_v7(

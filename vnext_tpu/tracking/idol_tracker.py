@@ -67,20 +67,23 @@ class _Tracklet:
 class IDOLTracker:
     def __init__(
         self,
-        nms_thr_pre: float = 0.5,
-        nms_thr_post: float = 0.05,
+        # class defaults mirror the reference exactly (idol/models/tracker.py:52-70);
+        # the IDOL inference path overrides them with the trained-config values
+        # (idol/idol.py:278-290 == engine/vis_inference.py tracker construction)
+        nms_thr_pre: float = 0.7,
+        nms_thr_post: float = 0.3,
         init_score_thr: float = 0.2,
-        addnew_score_thr: float = 0.2,
+        addnew_score_thr: float = 0.5,
         obj_score_thr: float = 0.1,
         match_score_thr: float = 0.5,
         memo_tracklet_frames: int = 10,
         memo_backdrop_frames: int = 1,
-        memo_momentum: float = 0.8,
+        memo_momentum: float = 0.5,
         match_metric: str = "bisoftmax",
-        long_match: bool = True,
-        frame_weight: bool = True,
-        temporal_weight: bool = True,
-        memory_len: int = 3,
+        long_match: bool = False,
+        frame_weight: bool = False,
+        temporal_weight: bool = False,
+        memory_len: int = 10,
     ):
         assert 0 <= memo_momentum <= 1.0
         assert match_metric in ("bisoftmax", "softmax", "cosine")
