@@ -64,26 +64,23 @@ def _install_stubs():
         sys.modules["torchvision.ops.boxes"] = tv.ops.boxes
         sys.modules["torchvision.models"] = tv.models
         sys.modules["torchvision.models._utils"] = tv.models._utils
-    if "detectron2" not in sys.modules:
-        d2 = types.ModuleType("detectron2")
+    if "detectron2.structures" not in sys.modules:
+        d2 = sys.modules.setdefault("detectron2", types.ModuleType("detectron2"))
         d2s = types.ModuleType("detectron2.structures")
         d2s.Instances = object  # only referenced by post-processing we don't call
         d2s.ROIMasks = object
         d2.structures = d2s
-        sys.modules["detectron2"] = d2
         sys.modules["detectron2.structures"] = d2s
-    if "fvcore" not in sys.modules:
-        fv = types.ModuleType("fvcore")
-        fvnn = types.ModuleType("fvcore.nn")
+    fv = sys.modules.setdefault("fvcore", types.ModuleType("fvcore"))
+    fvnn = sys.modules.setdefault("fvcore.nn", types.ModuleType("fvcore.nn"))
+    fv.nn = fvnn
+    if not hasattr(fvnn, "giou_loss"):
 
         def giou_loss(*a, **k):  # imported by deformable_detr, unused at eval
             raise NotImplementedError
 
         fvnn.giou_loss = giou_loss
         fvnn.smooth_l1_loss = giou_loss
-        fv.nn = fvnn
-        sys.modules["fvcore"] = fv
-        sys.modules["fvcore.nn"] = fvnn
 
 
 @pytest.fixture(scope="module")
@@ -247,4 +244,138 @@ def test_idol_full_model_parity(ref_modules):
         ref_masks.detach().numpy(),
         rtol=2e-4,
         atol=1e-3,
+    )
+
+
+# ---------------------------------------------------------------------------
+# FULL-SIZE parity, backbone included (round-2 verdict item 2): the real R50
+# IDOL configuration (256 hidden, 8 heads, 6+6 layers, 1024 FFN, 300 queries)
+# with the REAL detectron2 ResNet-50 (loaded verbatim by
+# test_reference_backbone_parity._load_d2_resnet) inside the reference stack,
+# diffed pixels-to-masks against our full IDOL with imported weights.
+# ---------------------------------------------------------------------------
+
+FULL_HIDDEN = 256
+FULL_HEADS = 8
+FULL_LAYERS = 6
+FULL_FFN = 1024
+FULL_QUERIES = 300
+FULL_CLASSES = 40
+
+
+class _D2ResNetBackbone(torch.nn.Module):
+    """MaskedBackbone (idol/idol.py:35) equivalent wrapping the real d2 R50:
+    runs the backbone on the padded tensor and downsamples the padding mask
+    per feature level."""
+
+    def __init__(self, resnet):
+        super().__init__()
+        self.backbone = resnet
+
+    def forward(self, tensor_list):
+        feats = self.backbone(tensor_list.tensors)
+        m = tensor_list.mask
+        out = {}
+        # all four levels, like MaskedBackbone: DeformableDETR drops the
+        # first (res2) itself via features[1:]
+        for name in ("res2", "res3", "res4", "res5"):
+            x = feats[name]
+            mask = (
+                torch.nn.functional.interpolate(m[None].float(), size=x.shape[-2:])
+                .to(torch.bool)[0]
+            )
+            out[name] = type(tensor_list)(x, mask)
+        return out
+
+
+def _build_full_reference(ref, d2r, seed=11):
+    from tests.test_reference_backbone_parity import _build_d2
+
+    resnet = _build_d2(d2r, 50, stride_in_1x1=False, seed=seed)
+    backbone = ref.Joiner(
+        _D2ResNetBackbone(resnet),
+        ref.PositionEmbeddingSine(FULL_HIDDEN // 2, normalize=True),
+    )
+    backbone.num_channels = [512, 1024, 2048]
+    backbone.strides = [8, 16, 32]
+    transformer = ref.dt.DeformableTransformer(
+        d_model=FULL_HIDDEN, nhead=FULL_HEADS,
+        num_encoder_layers=FULL_LAYERS, num_decoder_layers=FULL_LAYERS,
+        dim_feedforward=FULL_FFN, dropout=0.0, activation="relu",
+        return_intermediate_dec=True, num_frames=1,
+        num_feature_levels=LEVELS, dec_n_points=4, enc_n_points=4,
+    )
+    detr = ref.dd.DeformableDETR(
+        backbone, transformer, num_classes=FULL_CLASSES, num_frames=1,
+        num_queries=FULL_QUERIES, num_feature_levels=LEVELS,
+        aux_loss=True, with_box_refine=True,
+    )
+    model = ref.sc.CondInst_segm(detr, rel_coord=True, freeze_detr=False)
+    model.eval()
+    return model
+
+
+def test_idol_full_size_parity_with_backbone(ref_modules):
+    """Real-config IDOL-R50 at an eval-like shape: full pixels-to-masks diff.
+
+    Covers what the tiny-config test cannot: f32 accumulation over 6 encoder
+    layers at 256-dim, 300-query box refinement, and the d2-ResNet backbone
+    numerics inside the same graph."""
+    from tests.test_reference_backbone_parity import _load_d2_resnet
+
+    d2r = _load_d2_resnet()
+    model = _build_full_reference(ref_modules, d2r)
+
+    H, W = 192, 320
+    true_sizes = ((192, 320), (128, 256))
+    rng = np.random.RandomState(5)
+    images = rng.randn(2, 3, H, W).astype(np.float32)
+    mask = np.ones((2, H, W), bool)
+    for i, (h, w) in enumerate(true_sizes):
+        mask[i, :h, :w] = False
+    samples = ref_modules.NestedTensor(torch.from_numpy(images), torch.from_numpy(mask))
+    samples.image_sizes = list(true_sizes)
+    with torch.no_grad():
+        ref_out = model.inference_forward(samples, size_divisib=32)
+    sd = {f"detr.{k}": v.detach().numpy() for k, v in model.state_dict().items()}
+
+    import jax
+    import jax.numpy as jnp
+
+    from vnext_tpu.checkpoint.torch_import import apply_to_params, convert_idol_checkpoint
+    from vnext_tpu.models.idol import IDOL
+
+    ours_model = IDOL(
+        num_classes=FULL_CLASSES, hidden_dim=FULL_HIDDEN, num_queries=FULL_QUERIES,
+        nheads=FULL_HEADS, dim_feedforward=FULL_FFN, enc_layers=FULL_LAYERS,
+        dec_layers=FULL_LAYERS, num_feature_levels=LEVELS, dropout=0.0,
+        backbone_depth=50, stride_in_1x1=False, msda_impl="jnp", dtype=jnp.float32,
+    )
+    sizes = jnp.asarray(true_sizes, jnp.int32)
+    x_nhwc = jnp.asarray(images.transpose(0, 2, 3, 1))
+    variables = ours_model.init(
+        {"params": jax.random.PRNGKey(0)}, x_nhwc, sizes, method=IDOL.inference
+    )
+    flat = convert_idol_checkpoint(
+        sd, dec_layers=FULL_LAYERS, enc_layers=FULL_LAYERS, num_feature_levels=LEVELS
+    )
+    params, report = apply_to_params(flat, variables["params"])
+    assert not report["shape_mismatch"], report["shape_mismatch"]
+    assert not report["missing"], report["missing"]
+
+    ours = ours_model.apply({"params": params}, x_nhwc, sizes, method=IDOL.inference)
+
+    def diff(a, b):
+        return float(np.max(np.abs(np.asarray(a) - b.detach().numpy())))
+
+    # f32 accumulation-order wobble compounds over 6 layers at 256-dim;
+    # these bounds are ~100x above observed noise yet far below any real
+    # architectural mismatch
+    assert diff(ours["pred_logits"], ref_out["pred_logits"]) < 5e-3
+    assert diff(ours["pred_boxes"], ref_out["pred_boxes"]) < 2e-3
+    assert diff(ours["pred_inst_embed"], ref_out["pred_inst_embed"]) < 5e-3
+    ref_masks = ref_out["pred_masks"].squeeze(2)
+    np.testing.assert_allclose(
+        np.asarray(ours["pred_masks"]), ref_masks.detach().numpy(),
+        rtol=2e-3, atol=5e-3,
     )

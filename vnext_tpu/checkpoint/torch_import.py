@@ -99,6 +99,37 @@ def _convert_swin_backbone(bb: str, sd, out) -> None:
         _norm(f"{bb}.norm{s}", ("backbone", f"out_norm{s}"), sd, out)
 
 
+def convert_d2_resnet(
+    sd: Dict[str, np.ndarray],
+    src_prefix: str = "",
+    dst_prefix: Tuple[str, ...] = ("backbone",),
+    out: Dict[Tuple[str, ...], np.ndarray] = None,
+) -> Dict[Tuple[str, ...], np.ndarray]:
+    """Map a detectron2 ResNet state_dict (stem.conv1 / res{2..5}.{b}.conv{j}
+    names, detectron2/modeling/backbone/resnet.py:362-614 + FrozenBatchNorm2d
+    batch_norm.py:13) to our flax ResNet tree. Handles both BottleneckBlock
+    (conv1..3) and BasicBlock (conv1..2) stages and shortcut projections."""
+    if out is None:
+        out = {}
+    _conv(f"{src_prefix}stem.conv1", dst_prefix + ("conv1",), sd, out)
+    _frozen_bn(f"{src_prefix}stem.conv1.norm", dst_prefix + ("bn1",), sd, out)
+    for s in (2, 3, 4, 5):
+        b = 0
+        while f"{src_prefix}res{s}.{b}.conv1.weight" in sd:
+            pre = f"{src_prefix}res{s}.{b}"
+            tgt = dst_prefix + (f"layer{s - 1}_{b}",)
+            for j in (1, 2, 3):
+                if f"{pre}.conv{j}.weight" not in sd:
+                    continue
+                _conv(f"{pre}.conv{j}", tgt + (f"conv{j}",), sd, out)
+                _frozen_bn(f"{pre}.conv{j}.norm", tgt + (f"bn{j}",), sd, out)
+            if f"{pre}.shortcut.weight" in sd:
+                _conv(f"{pre}.shortcut", tgt + ("downsample_conv",), sd, out)
+                _frozen_bn(f"{pre}.shortcut.norm", tgt + ("downsample_bn",), sd, out)
+            b += 1
+    return out
+
+
 def convert_idol_checkpoint(
     sd: Dict[str, np.ndarray],
     dec_layers: int = 6,
@@ -116,20 +147,7 @@ def convert_idol_checkpoint(
     if f"{bb}.patch_embed.proj.weight" in sd:
         _convert_swin_backbone(bb, sd, out)
     else:
-        _conv(f"{bb}.stem.conv1", ("backbone", "conv1"), sd, out)
-        _frozen_bn(f"{bb}.stem.conv1.norm", ("backbone", "bn1"), sd, out)
-        for s in (2, 3, 4, 5):
-            b = 0
-            while f"{bb}.res{s}.{b}.conv1.weight" in sd:
-                pre = f"{bb}.res{s}.{b}"
-                tgt = ("backbone", f"layer{s - 1}_{b}")
-                for j in (1, 2, 3):
-                    _conv(f"{pre}.conv{j}", tgt + (f"conv{j}",), sd, out)
-                    _frozen_bn(f"{pre}.conv{j}.norm", tgt + (f"bn{j}",), sd, out)
-                if f"{pre}.shortcut.weight" in sd:
-                    _conv(f"{pre}.shortcut", tgt + ("downsample_conv",), sd, out)
-                    _frozen_bn(f"{pre}.shortcut.norm", tgt + ("downsample_bn",), sd, out)
-                b += 1
+        convert_d2_resnet(sd, src_prefix=bb + ".", dst_prefix=("backbone",), out=out)
 
     # ---- input projections
     for i in range(num_feature_levels):

@@ -228,5 +228,6 @@ def build_resnet_backbone(cfg, dtype=jnp.float32) -> ResNet:
         depth=cfg.MODEL.RESNETS.DEPTH,
         out_features=tuple(cfg.MODEL.RESNETS.OUT_FEATURES),
         res5_dilation=cfg.MODEL.RESNETS.RES5_DILATION,
+        stride_in_1x1=cfg.MODEL.RESNETS.STRIDE_IN_1X1,
         dtype=dtype,
     )

@@ -67,6 +67,7 @@ class IDOL(nn.Module):
     enc_n_points: int = 4
     dec_n_points: int = 4
     backbone_depth: int = 50
+    stride_in_1x1: bool = False  # IDOL configs use the torchvision layout
     dropout: float = 0.1
     rel_coord: bool = True
     mask_out_stride: int = 4
@@ -79,6 +80,7 @@ class IDOL(nn.Module):
         self.backbone = ResNet(
             depth=self.backbone_depth,
             out_features=("res3", "res4", "res5"),
+            stride_in_1x1=self.stride_in_1x1,
             dtype=self.dtype,
             name="backbone",
         )
@@ -335,6 +337,7 @@ def build_idol_model(cfg, dtype=None) -> IDOL:
         enc_n_points=c.ENC_N_POINTS,
         dec_n_points=c.DEC_N_POINTS,
         backbone_depth=cfg.MODEL.RESNETS.DEPTH,
+        stride_in_1x1=cfg.MODEL.RESNETS.STRIDE_IN_1X1,
         dropout=c.DROPOUT,
         mask_out_stride=c.MASK_STRIDE,
         max_insts=cfg.TPU.MAX_INSTANCES,

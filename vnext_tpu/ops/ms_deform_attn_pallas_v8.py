@@ -60,10 +60,10 @@ _PACK_MAX_HP = 16  # VMEM-residency cap for packed levels (Hp*D*128*2B <= 128KB)
 class _LevelMeta:
     """Static per-level schedule: packed-resident or point-group chunked."""
 
-    def __init__(self, h, w, hb):
+    def __init__(self, h, w, hb, allow_pack=True):
         self.h, self.w = h, w
         k = min(128 // (w + 1) - 1, h)
-        if k >= 1 and -(-h // k) <= _PACK_MAX_HP:
+        if allow_pack and k >= 1 and -(-h // k) <= _PACK_MAX_HP:
             self.packed = True
             self.k = k
             self.wp = w + 1
@@ -263,10 +263,11 @@ def _forward_v8(value, spatial_shapes, sampling_locations, attention_weights):
     hb = int(os.environ.get("VNEXT_MSDA_V8_HB", "4"))
     tq = int(os.environ.get("VNEXT_MSDA_V8_TQ", "256"))
     gsz = int(os.environ.get("VNEXT_MSDA_V8_GSZ", "2"))
+    pack = os.environ.get("VNEXT_MSDA_V8_PACK", "1") == "1"
     pipeline = os.environ.get("VNEXT_MSDA_PIPELINE", "1") == "1"
     if P % gsz != 0:
         gsz = 1
-    meta = [_LevelMeta(h, w, hb) for h, w in spatial_shapes]
+    meta = [_LevelMeta(h, w, hb, allow_pack=pack) for h, w in spatial_shapes]
     grouped = [l for l, m in enumerate(meta) if not m.packed]
     packed = [l for l, m in enumerate(meta) if m.packed]
 
