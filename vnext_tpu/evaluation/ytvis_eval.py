@@ -37,6 +37,44 @@ class DatasetEvaluator:
         pass
 
 
+def video_output_to_json(
+    output: dict,
+    video_id: int,
+    height: Optional[int] = None,
+    width: Optional[int] = None,
+    reverse_id_map: Optional[dict] = None,
+) -> List[dict]:
+    """Serialize one video's predictions to YTVIS results.json entries
+    (reference: idol/data/ytvis_eval.py:174 instances_to_coco_json_video +
+    the :153 contiguous->dataset category remap, default 0-based -> 1-based)."""
+    if height is None or width is None:
+        height, width = output["image_size"]
+    results = []
+    for score, label, inst_masks in zip(
+        output["pred_scores"], output["pred_labels"], output["pred_masks"]
+    ):
+        segms = []
+        for m in inst_masks:
+            if m is None:
+                # reference encodes an all-zero full-size mask for absent
+                # frames (ytvis_eval.py:197-200), not null
+                segms.append(rle_encode(np.zeros((height, width), bool)))
+            else:
+                segms.append(rle_encode(np.asarray(m, bool)))
+        category_id = (
+            reverse_id_map[int(label)] if reverse_id_map else int(label) + 1
+        )
+        results.append(
+            {
+                "video_id": int(video_id),
+                "score": float(score),
+                "category_id": int(category_id),
+                "segmentations": segms,
+            }
+        )
+    return results
+
+
 class YTVISEvaluator(DatasetEvaluator):
     def __init__(
         self,
@@ -60,33 +98,15 @@ class YTVISEvaluator(DatasetEvaluator):
     def process(self, inputs: List[dict], outputs: List[dict]):
         """inputs: video records; outputs: IDOLVideoInference video_output dicts."""
         for record, output in zip(inputs, outputs):
-            video_id = record["video_id"]
-            for score, label, inst_masks in zip(
-                output["pred_scores"], output["pred_labels"], output["pred_masks"]
-            ):
-                segms = []
-                for m in inst_masks:
-                    if m is None:
-                        # reference encodes an all-zero full-size mask for
-                        # absent frames (ytvis_eval.py:197-200), not null
-                        segms.append(
-                            rle_encode(
-                                np.zeros((record["height"], record["width"]), bool)
-                            )
-                        )
-                    else:
-                        segms.append(rle_encode(np.asarray(m, bool)))
-                category_id = (
-                    self._reverse_id_map[int(label)] if self._reverse_id_map else int(label) + 1
+            self._predictions.extend(
+                video_output_to_json(
+                    output,
+                    video_id=record["video_id"],
+                    height=record["height"],
+                    width=record["width"],
+                    reverse_id_map=self._reverse_id_map,
                 )
-                self._predictions.append(
-                    {
-                        "video_id": int(video_id),
-                        "score": float(score),
-                        "category_id": int(category_id),
-                        "segmentations": segms,
-                    }
-                )
+            )
 
     def evaluate(self) -> Optional[Dict[str, float]]:
         all_preds = process_allgather(self._predictions)
