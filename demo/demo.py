@@ -5,10 +5,18 @@ Capability parity with the reference demo (demo/demo.py + demo/predictor.py
 VisualizationDemo): run IDOL on a directory of video frames (or an image
 sequence) and write visualized frames with per-track colors.
 
-Usage:
+Usage (frame directory):
     python demo/demo.py --config-file configs/idol/ytvis19_r50.yaml \
         --input /path/to/frames_dir --output /tmp/vis \
         --opts MODEL.WEIGHTS /path/to/weights
+
+Usage (video file; MJPEG-AVI natively, other codecs when cv2 is installed):
+    python demo/demo.py --config-file configs/idol/ytvis19_r50.yaml \
+        --video-input clip.avi --video-output /tmp/vis.avi
+
+Reference: demo/demo.py + demo/predictor.py (VisualizationDemo, --video-input,
+AsyncPredictor). Visualization/encoding runs in an AsyncPredictor worker so it
+overlaps the per-frame mask materialization.
 """
 
 from __future__ import annotations
@@ -29,8 +37,10 @@ def main():
     parser.add_argument("--config-file", required=True)
     parser.add_argument("--model-type", default="idol",
                         choices=["idol", "seqformer", "minvis"])
-    parser.add_argument("--input", required=True, help="directory of frames or glob")
-    parser.add_argument("--output", required=True)
+    parser.add_argument("--input", help="directory of frames or glob")
+    parser.add_argument("--video-input", help="video file (MJPEG-AVI without cv2)")
+    parser.add_argument("--output", help="output directory for visualized frames")
+    parser.add_argument("--video-output", help="output video file (MJPEG-AVI)")
     parser.add_argument("--confidence-threshold", type=float, default=0.3)
     parser.add_argument("opts", nargs=argparse.REMAINDER, default=[])
     args = parser.parse_args()
@@ -52,12 +62,26 @@ def main():
     if args.opts:
         cfg.merge_from_list(args.opts)
 
-    frame_paths = sorted(
-        glob.glob(os.path.join(args.input, "*")) if os.path.isdir(args.input) else glob.glob(args.input)
-    )
-    if not frame_paths:
-        raise SystemExit(f"No frames found at {args.input}")
-    first = np.asarray(Image.open(frame_paths[0]).convert("RGB"))
+    if not (args.input or args.video_input):
+        raise SystemExit("one of --input / --video-input is required")
+    if not (args.output or args.video_output):
+        raise SystemExit("one of --output / --video-output is required")
+
+    fps = 25.0
+    if args.video_input:
+        from vnext_tpu.utils.video_io import read_video
+
+        video_frames, fps = read_video(args.video_input)
+        frame_paths = [f"frame_{t:06d}.jpg" for t in range(len(video_frames))]
+        load_frame = lambda p: video_frames[int(p[6:12])]
+    else:
+        frame_paths = sorted(
+            glob.glob(os.path.join(args.input, "*")) if os.path.isdir(args.input) else glob.glob(args.input)
+        )
+        if not frame_paths:
+            raise SystemExit(f"No frames found at {args.input}")
+        load_frame = lambda p: np.asarray(Image.open(p).convert("RGB"))
+    first = load_frame(frame_paths[0])
     record = {
         "file_names": frame_paths,
         "height": first.shape[0],
@@ -73,6 +97,7 @@ def main():
         target_size=tuple(cfg.TPU.TEST_IMAGE_SIZE),
         pixel_mean=cfg.MODEL.PIXEL_MEAN,
         pixel_std=cfg.MODEL.PIXEL_STD,
+        image_loader=load_frame,
     )
     key = jax.random.PRNGKey(0)
     if args.model_type == "idol":
@@ -116,11 +141,14 @@ def main():
         runner = MinVISVideoInference(model, params, **common)
     out = runner(record)
 
-    os.makedirs(args.output, exist_ok=True)
+    from vnext_tpu.engine.predictor import AsyncPredictor
+
     viz = VideoVisualizer()
     keep = [i for i, s in enumerate(out["pred_scores"]) if s >= args.confidence_threshold]
-    for t, path in enumerate(frame_paths):
-        frame = np.asarray(Image.open(path).convert("RGB"))
+
+    def visualize(item):
+        t, path = item
+        frame = np.ascontiguousarray(load_frame(path))
         tids, masks, labels, scores = [], [], [], []
         for i in keep:
             m = out["pred_masks"][i][t]
@@ -136,8 +164,41 @@ def main():
                 labels=np.asarray(labels), scores=np.asarray(scores),
                 masks=np.stack(masks),
             )
-        Image.fromarray(frame).save(os.path.join(args.output, os.path.basename(path)))
-    print(f"Wrote {len(frame_paths)} visualized frames to {args.output}")
+        return frame
+
+    # visualization overlaps IO through the async worker (predictor.py parity
+    # with the reference demo's AsyncPredictor)
+    worker = AsyncPredictor(visualize, queue_size=8)
+    writer = None
+    if args.video_output:
+        from vnext_tpu.utils.video_io import VideoWriter
+
+        writer = VideoWriter(args.video_output, fps=fps)
+    if args.output:
+        os.makedirs(args.output, exist_ok=True)
+
+    n_in_flight = 0
+    results_written = 0
+    for t, path in enumerate(frame_paths):
+        worker.put((t, path))
+        n_in_flight += 1
+        while n_in_flight > 4 or (t == len(frame_paths) - 1 and n_in_flight):
+            frame = worker.get()
+            idx = results_written
+            if writer is not None:
+                writer.write(frame)
+            if args.output:
+                Image.fromarray(frame).save(
+                    os.path.join(args.output, os.path.basename(frame_paths[idx]))
+                )
+            results_written += 1
+            n_in_flight -= 1
+    worker.shutdown()
+    if writer is not None:
+        writer.close()
+        print(f"Wrote visualized video to {args.video_output}")
+    if args.output:
+        print(f"Wrote {results_written} visualized frames to {args.output}")
 
 
 if __name__ == "__main__":

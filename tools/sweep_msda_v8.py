@@ -34,7 +34,7 @@ def run(v):
     return jnp.sum(s)
 t0 = time.time(); float(run(val)); ct = time.time() - t0
 t0 = time.time(); float(run(val)); rt = time.time() - t0
-cfg = {k: os.environ.get("VNEXT_MSDA_V8_" + k, "-") for k in ("TQ", "GSZ", "HB", "PACK")}
+cfg = {k: os.environ.get("VNEXT_MSDA_V8_" + k, "-") for k in ("TQ", "GSZ", "HB", "PACK", "ABLATE")}
 cfg["PIPE"] = os.environ.get("VNEXT_MSDA_PIPELINE", "1")
 print(f"RESULT {cfg} {rt / 8 * 1000:.1f} ms/iter (compile {ct:.0f}s)", flush=True)
 """

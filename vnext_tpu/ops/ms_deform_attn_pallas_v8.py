@@ -77,7 +77,7 @@ class _LevelMeta:
 
 
 def _v8_kernel(
-    sched_ref, *rest, meta, D, P, TQ, GSZ, NPROG, T, NSCHED, pipeline,
+    sched_ref, *rest, meta, D, P, TQ, GSZ, NPROG, T, NSCHED, pipeline, ablate="",
 ):
     L = len(meta)
     grouped = [l for l, m in enumerate(meta) if not m.packed]
@@ -118,7 +118,12 @@ def _v8_kernel(
                             sems[l].at[slot, g, ch],
                         ).start()
 
-    if pipeline:
+    skip_grouped = ablate in ("nogrouped", "empty")
+    skip_packed = ablate in ("nopacked", "empty")
+
+    if skip_grouped:
+        slot = 0
+    elif pipeline:
         slot = jax.lax.rem(pid, 2)
 
         @pl.when(pid == 0)
@@ -135,7 +140,7 @@ def _v8_kernel(
     acc_ref[:] = jnp.zeros_like(acc_ref)
 
     # ---- grouped (chunked) levels: x-selector matmul + tent y-interp ----
-    for gi, l in enumerate(grouped):
+    for gi, l in enumerate(grouped if not skip_grouped else []):
         m = meta[l]
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (m.wpad, GN), 0).astype(jnp.float32)
         for g in range(NG):
@@ -186,7 +191,7 @@ def _v8_kernel(
                         acc_ref[:] += s[:, j * TQ : (j + 1) * TQ]
 
     # ---- packed levels: 4-weight folded selector + packed-row pick ----
-    for l in packed:
+    for l in packed if not skip_packed else []:
         m = meta[l]
         x = loc_ref[0, 2 * l : 2 * l + 1, :].astype(jnp.float32)          # [1, PTQ]
         y = loc_ref[0, 2 * l + 1 : 2 * l + 2, :].astype(jnp.float32)
@@ -326,6 +331,7 @@ def _forward_v8(value, spatial_shapes, sampling_locations, attention_weights):
     kernel = functools.partial(
         _v8_kernel, meta=meta, D=D, P=P, TQ=tq, GSZ=gsz, NPROG=nprog, T=t,
         NSCHED=nsched, pipeline=pipeline,
+        ablate=os.environ.get("VNEXT_MSDA_V8_ABLATE", ""),
     )
     nslot = 2 if pipeline else 1
     ng = P // gsz
