@@ -100,3 +100,16 @@ def test_v8_grads_match_oracle():
     g_v8 = jax.grad(loss_v8, argnums=(0, 1, 2))(val, loc, w)
     for a, b in zip(g_ref, g_v8):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-4)
+
+
+def test_sort_queries_by_row_is_exact():
+    """The decoder sort-by-row preprocessing + inverse gather is a no-op on
+    the MSDA result (permutation invariance per query)."""
+    from vnext_tpu.ops.ms_deform_attn import sort_queries_by_row
+
+    val, loc, w = _inputs(4, SHAPES_MIXED, 37)
+    ref = ms_deform_attn_core_jnp(val, SHAPES_MIXED, loc, w)
+    loc_s, w_s, inv = sort_queries_by_row(loc, w)
+    out_s = ms_deform_attn_core_jnp(val, SHAPES_MIXED, loc_s, w_s)
+    out = jnp.take_along_axis(out_s, inv[:, :, None], axis=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)

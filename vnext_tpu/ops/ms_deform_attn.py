@@ -179,6 +179,24 @@ def ms_deform_attn_factorized_xla(
     return jnp.moveaxis(out, 1, 2).reshape(B, Q, M * D).astype(value.dtype)
 
 
+def sort_queries_by_row(sampling_locations: Array, attention_weights: Array):
+    """Permute queries by mean normalized sampling row (per batch element).
+
+    MSDA output is per-query, so any query permutation is exact after the
+    inverse gather. Sorting concentrates each kernel query-tile's row span.
+    Returns (loc_sorted, attn_sorted, inverse_perm)."""
+    key = sampling_locations[..., 1].mean(axis=(2, 3, 4))   # [B, Q]
+    perm = jnp.argsort(key, axis=1)
+    inv = jnp.argsort(perm, axis=1)
+    loc_s = jnp.take_along_axis(
+        sampling_locations, perm[:, :, None, None, None, None], axis=1
+    )
+    attn_s = jnp.take_along_axis(
+        attention_weights, perm[:, :, None, None, None], axis=1
+    )
+    return loc_s, attn_s, inv
+
+
 def ms_deform_attn(
     value: Array,
     spatial_shapes: Sequence[Tuple[int, int]],
@@ -210,7 +228,10 @@ def ms_deform_attn(
         # ~2.5x fewer executed selector-matmul FLOPs measured on real model
         # sampling distributions) for encoder-scale query counts; v7 for the
         # small-Q decoder, whose scattered references make v8's per-group
-        # chunking pay the full-height span several times over.
+        # chunking pay the full-height span several times over. Decoder
+        # queries are additionally sorted by mean sampling row so each query
+        # tile touches a band instead of the full height (~25% fewer executed
+        # chunk rows); the output is inverse-permuted back.
         import os
 
         q = sampling_locations.shape[1]
@@ -222,6 +243,13 @@ def ms_deform_attn(
                 value, spatial_shapes, sampling_locations, attention_weights
             )
         from .ms_deform_attn_pallas_v7 import ms_deform_attn_pallas_v7
+
+        if q <= 1024 and os.environ.get("VNEXT_MSDA_SORT", "1") == "1":
+            loc_s, attn_s, inv = sort_queries_by_row(
+                sampling_locations, attention_weights
+            )
+            out = ms_deform_attn_pallas_v7(value, spatial_shapes, loc_s, attn_s)
+            return jnp.take_along_axis(out, inv[:, :, None], axis=1)
 
         return ms_deform_attn_pallas_v7(
             value, spatial_shapes, sampling_locations, attention_weights

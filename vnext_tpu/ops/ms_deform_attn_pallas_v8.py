@@ -77,7 +77,8 @@ class _LevelMeta:
 
 
 def _v8_kernel(
-    sched_ref, *rest, meta, D, P, TQ, GSZ, NPROG, T, NSCHED, pipeline, ablate="",
+    sched_ref, *rest, meta, D, P, TQ, GSZ, NPROG, TPROG, TPP, NSCHED,
+    pipeline, ablate="",
 ):
     L = len(meta)
     grouped = [l for l, m in enumerate(meta) if not m.packed]
@@ -97,26 +98,27 @@ def _v8_kernel(
     sems = {l: rest[off + 2 + len(grouped) + i] for i, l in enumerate(grouped)}
 
     b = pl.program_id(0)
-    t = pl.program_id(1)
-    pid = b * T + t
+    tpr = pl.program_id(1)
+    pid = b * TPROG + tpr
 
     def issue(for_pid, slot):
-        fb = for_pid // T
-        for gi, l in enumerate(grouped):
-            m = meta[l]
-            for g in range(NG):
-                base = for_pid * NSCHED + (gi * NG + g) * 2
-                rmin = sched_ref[base]
-                nch = sched_ref[base + 1]
-                for ch in range(m.ch):
-                    @pl.when(ch < nch)
-                    def _(l=l, m=m, g=g, ch=ch, rmin=rmin, fb=fb, slot=slot):
-                        r0 = jnp.clip(rmin + ch * m.hb, 0, m.h - 1)
-                        pltpu.make_async_copy(
-                            vhbm_refs[l].at[fb, pl.ds(r0 * D, m.hb * D), :],
-                            vbufs[l].at[slot, g, ch],
-                            sems[l].at[slot, g, ch],
-                        ).start()
+        fb = for_pid // TPROG
+        for tp in range(TPP):
+            for gi, l in enumerate(grouped):
+                m = meta[l]
+                for g in range(NG):
+                    base = (for_pid * TPP + tp) * NSCHED + (gi * NG + g) * 2
+                    rmin = sched_ref[base]
+                    nch = sched_ref[base + 1]
+                    for ch in range(m.ch):
+                        @pl.when(ch < nch)
+                        def _(l=l, m=m, tp=tp, g=g, ch=ch, rmin=rmin, fb=fb, slot=slot):
+                            r0 = jnp.clip(rmin + ch * m.hb, 0, m.h - 1)
+                            pltpu.make_async_copy(
+                                vhbm_refs[l].at[fb, pl.ds(r0 * D, m.hb * D), :],
+                                vbufs[l].at[slot, tp, g, ch],
+                                sems[l].at[slot, tp, g, ch],
+                            ).start()
 
     skip_grouped = ablate in ("nogrouped", "empty")
     skip_packed = ablate in ("nopacked", "empty")
@@ -137,90 +139,93 @@ def _v8_kernel(
         slot = 0
         issue(pid, 0)
 
-    acc_ref[:] = jnp.zeros_like(acc_ref)
+    for tp in range(TPP):
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        tcol = tp * PTQ
 
-    # ---- grouped (chunked) levels: x-selector matmul + tent y-interp ----
-    for gi, l in enumerate(grouped if not skip_grouped else []):
-        m = meta[l]
-        iota_w = jax.lax.broadcasted_iota(jnp.int32, (m.wpad, GN), 0).astype(jnp.float32)
-        for g in range(NG):
-            cols = pl.ds(g * GN, GN)
-            x = loc_ref[0, 2 * l : 2 * l + 1, cols].astype(jnp.float32)    # [1, GN]
+        # ---- grouped (chunked) levels: x-selector matmul + tent y-interp ----
+        for gi, l in enumerate(grouped if not skip_grouped else []):
+            m = meta[l]
+            iota_w = jax.lax.broadcasted_iota(jnp.int32, (m.wpad, GN), 0).astype(jnp.float32)
+            for g in range(NG):
+                cols = pl.ds(tcol + g * GN, GN)
+                x = loc_ref[0, 2 * l : 2 * l + 1, cols].astype(jnp.float32)    # [1, GN]
+                y = loc_ref[0, 2 * l + 1 : 2 * l + 2, cols].astype(jnp.float32)
+                attn = w_ref[0, l : l + 1, cols].astype(jnp.float32)
+                # tent selector: exact bilinear x-weights incl. fringe/OOB (v7 proof)
+                rx = jnp.maximum(0.0, 1.0 - jnp.abs(x - iota_w))
+                base = (pid * TPP + tp) * NSCHED + (gi * NG + g) * 2
+                rmin = sched_ref[base]
+                nch = sched_ref[base + 1]
+                for ch in range(m.ch):
+                    @pl.when(ch < nch)
+                    def _(l=l, m=m, tp=tp, g=g, ch=ch, rx=rx, y=y, attn=attn, rmin=rmin):
+                        pltpu.make_async_copy(
+                            vhbm_refs[l].at[0, pl.ds(0, m.hb * D), :],  # shape-only
+                            vbufs[l].at[slot, tp, g, ch],
+                            sems[l].at[slot, tp, g, ch],
+                        ).wait()
+                        r0 = jnp.clip(rmin + ch * m.hb, 0, m.h - 1)
+                        if pipeline:
+                            vblk = jax.lax.cond(
+                                slot == 0,
+                                lambda: vbufs[l][0, tp, g, ch],
+                                lambda: vbufs[l][1, tp, g, ch],
+                            )
+                        else:
+                            vblk = vbufs[l][0, tp, g, ch]
+                        u = jnp.dot(
+                            vblk, rx.astype(vblk.dtype), preferred_element_type=jnp.float32
+                        )                                                     # [hb*D, GN]
+                        iota_hb = (
+                            jax.lax.broadcasted_iota(jnp.int32, (m.hb, GN), 0) + r0
+                        ).astype(jnp.float32)
+                        ryw = jnp.maximum(0.0, 1.0 - jnp.abs(y - iota_hb)) * attn
+                        terms = [
+                            ryw[h : h + 1, :] * u[h * D : (h + 1) * D, :]
+                            for h in range(m.hb)
+                        ]
+                        while len(terms) > 1:
+                            terms = [
+                                terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+                                for i in range(0, len(terms), 2)
+                            ]
+                        s = terms[0]                                          # [D, GN]
+                        for j in range(GSZ):
+                            acc_ref[:] += s[:, j * TQ : (j + 1) * TQ]
+
+        # ---- packed levels: 4-weight folded selector + packed-row pick ----
+        for l in packed if not skip_packed else []:
+            m = meta[l]
+            cols = pl.ds(tcol, PTQ)
+            x = loc_ref[0, 2 * l : 2 * l + 1, cols].astype(jnp.float32)       # [1, PTQ]
             y = loc_ref[0, 2 * l + 1 : 2 * l + 2, cols].astype(jnp.float32)
             attn = w_ref[0, l : l + 1, cols].astype(jnp.float32)
-            # tent selector: exact bilinear x-weights incl. fringe/OOB (v7 proof)
-            rx = jnp.maximum(0.0, 1.0 - jnp.abs(x - iota_w))
-            base = pid * NSCHED + (gi * NG + g) * 2
-            rmin = sched_ref[base]
-            nch = sched_ref[base + 1]
-            for ch in range(m.ch):
-                @pl.when(ch < nch)
-                def _(l=l, m=m, g=g, ch=ch, rx=rx, y=y, attn=attn, rmin=rmin):
-                    pltpu.make_async_copy(
-                        vhbm_refs[l].at[0, pl.ds(0, m.hb * D), :],  # shape-only
-                        vbufs[l].at[slot, g, ch],
-                        sems[l].at[slot, g, ch],
-                    ).wait()
-                    r0 = jnp.clip(rmin + ch * m.hb, 0, m.h - 1)
-                    if pipeline:
-                        vblk = jax.lax.cond(
-                            slot == 0,
-                            lambda: vbufs[l][0, g, ch],
-                            lambda: vbufs[l][1, g, ch],
-                        )
-                    else:
-                        vblk = vbufs[l][0, g, ch]
-                    u = jnp.dot(
-                        vblk, rx.astype(vblk.dtype), preferred_element_type=jnp.float32
-                    )                                                     # [hb*D, GN]
-                    iota_hb = (
-                        jax.lax.broadcasted_iota(jnp.int32, (m.hb, GN), 0) + r0
-                    ).astype(jnp.float32)
-                    ryw = jnp.maximum(0.0, 1.0 - jnp.abs(y - iota_hb)) * attn
-                    terms = [
-                        ryw[h : h + 1, :] * u[h * D : (h + 1) * D, :]
-                        for h in range(m.hb)
-                    ]
-                    while len(terms) > 1:
-                        terms = [
-                            terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
-                            for i in range(0, len(terms), 2)
-                        ]
-                    s = terms[0]                                          # [D, GN]
-                    for j in range(GSZ):
-                        acc_ref[:] += s[:, j * TQ : (j + 1) * TQ]
+            y0 = jnp.floor(y)
+            ty = y - y0
+            r0 = jnp.clip(jnp.floor(y0 / m.k), 0.0, m.hp - 1.0)
+            j_lo = y0 - r0 * m.k
+            # x outside [-1, w] would tent into a neighboring row-block's real
+            # columns: park those samples at an absolute off-grid position.
+            x_ok = (x >= -1.0) & (x <= float(m.w))
+            xs_lo = jnp.where(x_ok, j_lo * m.wp + x, -10.0)
+            xs_hi = jnp.where(x_ok, xs_lo + m.wp, -10.0)
+            iota_c = jax.lax.broadcasted_iota(jnp.int32, (128, PTQ), 0).astype(jnp.float32)
+            rx4 = (
+                (1.0 - ty) * jnp.maximum(0.0, 1.0 - jnp.abs(xs_lo - iota_c))
+                + ty * jnp.maximum(0.0, 1.0 - jnp.abs(xs_hi - iota_c))
+            ) * attn
+            vp = vpack_refs[l][0]                                             # [hp*D, 128]
+            u = jnp.dot(vp, rx4.astype(vp.dtype), preferred_element_type=jnp.float32)
+            s = None
+            for rp in range(m.hp):
+                mask = (r0 == float(rp)).astype(jnp.float32)                  # [1, PTQ]
+                term = mask * u[rp * D : (rp + 1) * D, :]
+                s = term if s is None else s + term                           # [D, PTQ]
+            for p in range(P):
+                acc_ref[:] += s[:, p * TQ : (p + 1) * TQ]
 
-    # ---- packed levels: 4-weight folded selector + packed-row pick ----
-    for l in packed if not skip_packed else []:
-        m = meta[l]
-        x = loc_ref[0, 2 * l : 2 * l + 1, :].astype(jnp.float32)          # [1, PTQ]
-        y = loc_ref[0, 2 * l + 1 : 2 * l + 2, :].astype(jnp.float32)
-        attn = w_ref[0, l : l + 1, :].astype(jnp.float32)
-        y0 = jnp.floor(y)
-        ty = y - y0
-        r0 = jnp.clip(jnp.floor(y0 / m.k), 0.0, m.hp - 1.0)
-        j_lo = y0 - r0 * m.k
-        # x outside [-1, w] would tent into a neighboring row-block's real
-        # columns: park those samples at an absolute off-grid position.
-        x_ok = (x >= -1.0) & (x <= float(m.w))
-        xs_lo = jnp.where(x_ok, j_lo * m.wp + x, -10.0)
-        xs_hi = jnp.where(x_ok, xs_lo + m.wp, -10.0)
-        iota_c = jax.lax.broadcasted_iota(jnp.int32, (128, PTQ), 0).astype(jnp.float32)
-        rx4 = (
-            (1.0 - ty) * jnp.maximum(0.0, 1.0 - jnp.abs(xs_lo - iota_c))
-            + ty * jnp.maximum(0.0, 1.0 - jnp.abs(xs_hi - iota_c))
-        ) * attn
-        vp = vpack_refs[l][0]                                             # [hp*D, 128]
-        u = jnp.dot(vp, rx4.astype(vp.dtype), preferred_element_type=jnp.float32)
-        s = None
-        for rp in range(m.hp):
-            mask = (r0 == float(rp)).astype(jnp.float32)                  # [1, PTQ]
-            term = mask * u[rp * D : (rp + 1) * D, :]
-            s = term if s is None else s + term                           # [D, PTQ]
-        for p in range(P):
-            acc_ref[:] += s[:, p * TQ : (p + 1) * TQ]
-
-    out_ref[0] = acc_ref[:].astype(out_ref.dtype)
+        out_ref[0, :, pl.ds(tp * TQ, TQ)] = acc_ref[:].astype(out_ref.dtype)
 
 
 def _group_schedule(y_pix: Array, h: int, hb: int, ch_cap: int, gsz: int):
@@ -277,7 +282,8 @@ def _forward_v8(value, spatial_shapes, sampling_locations, attention_weights):
     packed = [l for l, m in enumerate(meta) if m.packed]
 
     bm = B * M
-    q_pad = ((Q + tq - 1) // tq) * tq
+    tpp = int(os.environ.get("VNEXT_MSDA_V8_TPP", "2"))
+    q_pad = ((Q + tq * tpp - 1) // (tq * tpp)) * (tq * tpp)
     t = q_pad // tq
     ptq = P * tq
 
@@ -327,10 +333,11 @@ def _forward_v8(value, spatial_shapes, sampling_locations, attention_weights):
     nsched = sched.size // (bm * t)
     sched = sched.reshape(-1)
 
-    nprog = bm * t
+    tprog = t // tpp
+    nprog = bm * tprog
     kernel = functools.partial(
-        _v8_kernel, meta=meta, D=D, P=P, TQ=tq, GSZ=gsz, NPROG=nprog, T=t,
-        NSCHED=nsched, pipeline=pipeline,
+        _v8_kernel, meta=meta, D=D, P=P, TQ=tq, GSZ=gsz, NPROG=nprog,
+        TPROG=tprog, TPP=tpp, NSCHED=nsched, pipeline=pipeline,
         ablate=os.environ.get("VNEXT_MSDA_V8_ABLATE", ""),
     )
     nslot = 2 if pipeline else 1
@@ -338,10 +345,10 @@ def _forward_v8(value, spatial_shapes, sampling_locations, attention_weights):
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(bm, t),
+        grid=(bm, tprog),
         in_specs=[
-            pl.BlockSpec((1, 2 * L, ptq), lambda b, ti, *_: (b, 0, ti)),
-            pl.BlockSpec((1, L, ptq), lambda b, ti, *_: (b, 0, ti)),
+            pl.BlockSpec((1, 2 * L, tpp * ptq), lambda b, ti, *_: (b, 0, ti)),
+            pl.BlockSpec((1, L, tpp * ptq), lambda b, ti, *_: (b, 0, ti)),
         ]
         + [
             pl.BlockSpec(
@@ -350,13 +357,16 @@ def _forward_v8(value, spatial_shapes, sampling_locations, attention_weights):
             for l in packed
         ]
         + [pl.BlockSpec(memory_space=pltpu.HBM) for _ in grouped],
-        out_specs=pl.BlockSpec((1, D, tq), lambda b, ti, *_: (b, 0, ti)),
+        out_specs=pl.BlockSpec((1, D, tpp * tq), lambda b, ti, *_: (b, 0, ti)),
         scratch_shapes=[pltpu.VMEM((D, tq), jnp.float32)]
         + [
-            pltpu.VMEM((nslot, ng, meta[l].ch, meta[l].hb * D, meta[l].wpad), value.dtype)
+            pltpu.VMEM(
+                (nslot, tpp, ng, meta[l].ch, meta[l].hb * D, meta[l].wpad),
+                value.dtype,
+            )
             for l in grouped
         ]
-        + [pltpu.SemaphoreType.DMA((nslot, ng, meta[l].ch)) for l in grouped],
+        + [pltpu.SemaphoreType.DMA((nslot, tpp, ng, meta[l].ch)) for l in grouped],
     )
 
     # typical-case executed flops (locality => ~1 chunk/group/level)
