@@ -287,40 +287,45 @@ def _forward_v8(value, spatial_shapes, sampling_locations, attention_weights):
     t = q_pad // tq
     ptq = P * tq
 
-    value_bm = jnp.moveaxis(value, 2, 1).reshape(bm, S, D)
-    loc_bm = jnp.moveaxis(sampling_locations, 2, 1).reshape(bm, Q, L, P, 2)
-    w_bm = jnp.moveaxis(attention_weights, 2, 1).reshape(bm, Q, L, P)
+    # ---- loc/attn prep: pad then ONE transpose each (these tensors are tens
+    # of MB per layer at eval shapes; extra passes showed up as ~2-3 ms/layer)
+    loc_p = sampling_locations
+    w_p = attention_weights
     if q_pad != Q:
-        loc_bm = jnp.pad(
-            loc_bm, ((0, 0), (0, q_pad - Q), (0, 0), (0, 0), (0, 0)),
+        loc_p = jnp.pad(
+            loc_p, ((0, 0), (0, q_pad - Q), (0, 0), (0, 0), (0, 0), (0, 0)),
             constant_values=0.5,
         )
-        w_bm = jnp.pad(w_bm, ((0, 0), (0, q_pad - Q), (0, 0), (0, 0)))
-
-    # pixel-space loc, point-major per tile: [BM, 2L, T*P*TQ]
-    wh = np.zeros((1, 2 * L, 1, 1, 1), np.float32)
+        w_p = jnp.pad(w_p, ((0, 0), (0, q_pad - Q), (0, 0), (0, 0), (0, 0)))
+    # [B, q_pad, M, L, P, 2] -> [B, M, L, (x,y), T, P, TQ]
+    loc_T = jnp.transpose(loc_p.reshape(B, t, tq, M, L, P, 2), (0, 3, 4, 6, 1, 5, 2))
+    wh = np.zeros((1, 1, L, 2, 1, 1, 1), np.float32)
     for l, (h, w) in enumerate(spatial_shapes):
-        wh[0, 2 * l] = w
-        wh[0, 2 * l + 1] = h
-    # [BM, q_pad, L, P, 2] -> [BM, (x,y)*L, T, P, TQ]
-    loc_T = loc_bm.reshape(bm, t, tq, L, P, 2)
-    loc_T = jnp.transpose(loc_T, (0, 3, 5, 1, 4, 2)).reshape(bm, L * 2, t, P, tq)
-    loc_pix = loc_T * jnp.asarray(wh) - 0.5
-    w_T = w_bm.reshape(bm, t, tq, L, P)
-    w_T = jnp.transpose(w_T, (0, 3, 1, 4, 2)).reshape(bm, L, t * ptq)
+        wh[0, 0, l, 0] = w
+        wh[0, 0, l, 1] = h
+    loc_pix = (loc_T.astype(jnp.float32) * jnp.asarray(wh) - 0.5).reshape(
+        bm, 2 * L, t, P, tq
+    )
+    w_T = jnp.transpose(w_p.reshape(B, t, tq, M, L, P), (0, 3, 4, 1, 5, 2)).reshape(
+        bm, L, t * ptq
+    )
 
-    # values: grouped levels in x-matmul HBM layout, packed levels as VMEM blocks
+    # values: grouped levels in x-matmul HBM layout, packed levels as VMEM
+    # blocks — one transpose per level, straight off the [B, S, M, D] input
     v_grouped, v_packed, scheds = {}, {}, []
     start = 0
     for l, ((h, w), m) in enumerate(zip(spatial_shapes, meta)):
-        v_l = jax.lax.dynamic_slice_in_dim(value_bm, start, h * w, axis=1)
+        v_l = jax.lax.dynamic_slice_in_dim(value, start, h * w, axis=1)
         start += h * w
         if m.packed:
+            v_l = jnp.transpose(v_l, (0, 2, 1, 3)).reshape(bm, h * w, D)
             v_packed[l] = _pack_level(v_l, m, bm, D)
         else:
-            vt = jnp.swapaxes(v_l.reshape(bm, h, w, D), 2, 3).reshape(bm, h * D, w)
+            # [B, h*w, M, D] -> [B, M, h, D, w] -> [BM, h*D, w]
+            vt = jnp.transpose(v_l.reshape(B, h, w, M, D), (0, 3, 1, 4, 2))
+            vt = vt.reshape(bm, h * D, w)
             v_grouped[l] = jnp.pad(vt, ((0, 0), (0, (m.hpad - h) * D), (0, m.wpad - w)))
-            y_pix = loc_pix[:, 2 * l + 1].reshape(bm, t, P, tq)
+            y_pix = loc_pix[:, 2 * l + 1]
             scheds.append(_group_schedule(y_pix, h, m.hb, m.ch, gsz))
     loc_pix = loc_pix.reshape(bm, 2 * L, t * ptq)
     # flat 1-D scalar-prefetch array: SMEM operands pad the last dim to 128
@@ -332,6 +337,16 @@ def _forward_v8(value, spatial_shapes, sampling_locations, attention_weights):
     )
     nsched = sched.size // (bm * t)
     sched = sched.reshape(-1)
+
+    if os.environ.get("VNEXT_MSDA_V8_ABLATE", "") == "prep":
+        # bisection aid: run ONLY the XLA-side prep (full sums defeat DCE;
+        # they add one bandwidth pass each — subtract mentally)
+        acc = jnp.sum(loc_pix) + jnp.sum(w_T) + jnp.sum(sched.astype(jnp.float32))
+        for v in v_packed.values():
+            acc += jnp.sum(v.astype(jnp.float32))
+        for v in v_grouped.values():
+            acc += jnp.sum(v.astype(jnp.float32))
+        return jnp.full((B, Q, M * D), acc * 1e-20, value.dtype)
 
     tprog = t // tpp
     nprog = bm * tprog

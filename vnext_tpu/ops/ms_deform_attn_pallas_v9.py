@@ -1,0 +1,287 @@
+"""Pallas TPU MSDA forward v9 — whole-level VMEM residency, zero manual DMA.
+
+v8 (ms_deform_attn_pallas_v8.py) DMAs a dynamic-start row window per
+(level, point-group, chunk) from HBM. At eval shapes that is ~8 small
+(32 KB) semaphore-synchronised copies per query tile — ~20k DMAs per layer —
+and the measured grouped-level cost (~9 ms/layer) is DMA-latency stalls, not
+FLOPs (the executed matmuls are <0.4 TF/layer, <5% MXU busy).
+
+v9 removes the DMA machinery entirely. At eval shapes a level's full value
+plane for one (batch, head) is small ([h*D, Wpad] bf16: 512 KB for a
+60x100 stride-8 level), so every level is delivered as a regular BlockSpec
+input with block index (b, 0, 0): Pallas fetches it ONCE per (batch*head)
+program and keeps it VMEM-resident across all query tiles (the index map is
+constant in the tile dimension, so the pipeline skips the re-fetch). The
+per-chunk row window becomes a dynamic *VMEM* slice `vref[pl.ds(r0*D, hb*D)]`
+feeding the selector matmul directly — back-to-back MXU work with no
+semaphores, no double-buffer slots, no in-kernel copy scheduling.
+
+Everything else matches v8 (see its docstring for the derivation):
+point-group row spans with a host-computed (rmin, nch) schedule in scalar
+prefetch, tent-function bilinear x-selectors, lane-packed small levels with
+the 4-nonzero folded selector, tree-summed y-interpolation.
+
+Math is identical to the jnp oracle (reference CUDA op semantics:
+ms_deform_im2col_cuda.cuh:34, grid_sample zero padding, align_corners=False).
+Forward-only: the custom VJP reuses the v6 backward kernels.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .ms_deform_attn_pallas_v8 import _LevelMeta, _group_schedule, _pack_level
+
+Array = jnp.ndarray
+
+
+def _v9_kernel(sched_ref, *rest, meta, D, P, TQ, GSZ, TPP, NSCHED, ablate=""):
+    L = len(meta)
+    grouped = [l for l, m in enumerate(meta) if not m.packed]
+    packed = [l for l, m in enumerate(meta) if m.packed]
+    NG = P // GSZ
+    GN = GSZ * TQ
+    PTQ = P * TQ
+
+    loc_ref, w_ref = rest[0], rest[1]
+    vpack_refs = {l: rest[2 + i] for i, l in enumerate(packed)}
+    off = 2 + len(packed)
+    vref = {l: rest[off + i] for i, l in enumerate(grouped)}
+    off += len(grouped)
+    out_ref = rest[off]
+    acc_ref = rest[off + 1]
+
+    b = pl.program_id(0)
+    tpr = pl.program_id(1)
+    pid = b * pl.num_programs(1) + tpr
+
+    skip_grouped = ablate in ("nogrouped", "empty")
+    skip_packed = ablate in ("nopacked", "empty")
+
+    for tp in range(TPP):
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        tcol = tp * PTQ
+
+        # ---- grouped levels: x-selector matmul on a dynamic VMEM row slice ----
+        for gi, l in enumerate(grouped if not skip_grouped else []):
+            m = meta[l]
+            iota_w = jax.lax.broadcasted_iota(jnp.int32, (m.wpad, GN), 0).astype(jnp.float32)
+            for g in range(NG):
+                cols = pl.ds(tcol + g * GN, GN)
+                x = loc_ref[0, 2 * l : 2 * l + 1, cols].astype(jnp.float32)    # [1, GN]
+                y = loc_ref[0, 2 * l + 1 : 2 * l + 2, cols].astype(jnp.float32)
+                attn = w_ref[0, l : l + 1, cols].astype(jnp.float32)
+                # tent selector: exact bilinear x-weights incl. fringe/OOB (v7 proof)
+                rx = jnp.maximum(0.0, 1.0 - jnp.abs(x - iota_w))
+                base = (pid * TPP + tp) * NSCHED + (gi * NG + g) * 2
+                rmin = sched_ref[base]
+                nch = sched_ref[base + 1]
+                rx_v = rx.astype(vref[l].dtype)
+                iota_hb0 = jax.lax.broadcasted_iota(jnp.int32, (m.hb, GN), 0)
+
+                # dynamic-trip chunk loop: typical nch is 1-2; an unrolled
+                # @pl.when ladder over ch_cap (15 for the stride-8 level)
+                # costs ~46 scalar branches per tile pass and dominated v8
+                def chunk_body(ch, _, l=l, m=m, rx_v=rx_v, y=y, attn=attn,
+                               rmin=rmin, iota_hb0=iota_hb0):
+                    r0 = jnp.clip(rmin + ch * m.hb, 0, m.h - 1)
+                    vblk = vref[l][0, pl.ds(r0 * D, m.hb * D), :]
+                    u = jnp.dot(vblk, rx_v, preferred_element_type=jnp.float32)
+                    iota_hb = (iota_hb0 + r0).astype(jnp.float32)             # [hb, GN]
+                    ryw = jnp.maximum(0.0, 1.0 - jnp.abs(y - iota_hb)) * attn
+                    terms = [
+                        ryw[h : h + 1, :] * u[h * D : (h + 1) * D, :]
+                        for h in range(m.hb)
+                    ]
+                    while len(terms) > 1:
+                        terms = [
+                            terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+                            for i in range(0, len(terms), 2)
+                        ]
+                    s = terms[0]                                              # [D, GN]
+                    for j in range(GSZ):
+                        acc_ref[:] += s[:, j * TQ : (j + 1) * TQ]
+                    return 0
+
+                jax.lax.fori_loop(0, nch, chunk_body, 0)
+
+        # ---- packed levels: 4-weight folded selector + packed-row pick ----
+        for l in packed if not skip_packed else []:
+            m = meta[l]
+            cols = pl.ds(tcol, PTQ)
+            x = loc_ref[0, 2 * l : 2 * l + 1, cols].astype(jnp.float32)       # [1, PTQ]
+            y = loc_ref[0, 2 * l + 1 : 2 * l + 2, cols].astype(jnp.float32)
+            attn = w_ref[0, l : l + 1, cols].astype(jnp.float32)
+            y0 = jnp.floor(y)
+            ty = y - y0
+            r0 = jnp.clip(jnp.floor(y0 / m.k), 0.0, m.hp - 1.0)
+            j_lo = y0 - r0 * m.k
+            x_ok = (x >= -1.0) & (x <= float(m.w))
+            xs_lo = jnp.where(x_ok, j_lo * m.wp + x, -10.0)
+            xs_hi = jnp.where(x_ok, xs_lo + m.wp, -10.0)
+            iota_c = jax.lax.broadcasted_iota(jnp.int32, (128, PTQ), 0).astype(jnp.float32)
+            rx4 = (
+                (1.0 - ty) * jnp.maximum(0.0, 1.0 - jnp.abs(xs_lo - iota_c))
+                + ty * jnp.maximum(0.0, 1.0 - jnp.abs(xs_hi - iota_c))
+            ) * attn
+            vp = vpack_refs[l][0]                                             # [hp*D, 128]
+            u = jnp.dot(vp, rx4.astype(vp.dtype), preferred_element_type=jnp.float32)
+            s = None
+            for rp in range(m.hp):
+                mask = (r0 == float(rp)).astype(jnp.float32)                  # [1, PTQ]
+                term = mask * u[rp * D : (rp + 1) * D, :]
+                s = term if s is None else s + term                           # [D, PTQ]
+            for p in range(P):
+                acc_ref[:] += s[:, p * TQ : (p + 1) * TQ]
+
+        out_ref[0, :, pl.ds(tp * TQ, TQ)] = acc_ref[:].astype(out_ref.dtype)
+
+
+def _forward_v9(value, spatial_shapes, sampling_locations, attention_weights):
+    B, S, M, D = value.shape
+    _, Q, _, L, P, _ = sampling_locations.shape
+    spatial_shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
+    assert len(spatial_shapes) == L
+
+    hb = int(os.environ.get("VNEXT_MSDA_V9_HB", "4"))
+    tq = int(os.environ.get("VNEXT_MSDA_V9_TQ", "256"))
+    gsz = int(os.environ.get("VNEXT_MSDA_V9_GSZ", "2"))
+    pack = os.environ.get("VNEXT_MSDA_V9_PACK", "1") == "1"
+    tpp = int(os.environ.get("VNEXT_MSDA_V9_TPP", "2"))
+    if P % gsz != 0:
+        gsz = 1
+    meta = [_LevelMeta(h, w, hb, allow_pack=pack) for h, w in spatial_shapes]
+    grouped = [l for l, m in enumerate(meta) if not m.packed]
+    packed = [l for l, m in enumerate(meta) if m.packed]
+
+    bm = B * M
+    q_pad = ((Q + tq * tpp - 1) // (tq * tpp)) * (tq * tpp)
+    t = q_pad // tq
+    ptq = P * tq
+
+    # ---- loc/attn prep: pad then ONE transpose each (v8-identical) ----
+    loc_p = sampling_locations
+    w_p = attention_weights
+    if q_pad != Q:
+        loc_p = jnp.pad(
+            loc_p, ((0, 0), (0, q_pad - Q), (0, 0), (0, 0), (0, 0), (0, 0)),
+            constant_values=0.5,
+        )
+        w_p = jnp.pad(w_p, ((0, 0), (0, q_pad - Q), (0, 0), (0, 0), (0, 0)))
+    loc_T = jnp.transpose(loc_p.reshape(B, t, tq, M, L, P, 2), (0, 3, 4, 6, 1, 5, 2))
+    wh = np.zeros((1, 1, L, 2, 1, 1, 1), np.float32)
+    for l, (h, w) in enumerate(spatial_shapes):
+        wh[0, 0, l, 0] = w
+        wh[0, 0, l, 1] = h
+    loc_pix = (loc_T.astype(jnp.float32) * jnp.asarray(wh) - 0.5).reshape(
+        bm, 2 * L, t, P, tq
+    )
+    w_T = jnp.transpose(w_p.reshape(B, t, tq, M, L, P), (0, 3, 4, 1, 5, 2)).reshape(
+        bm, L, t * ptq
+    )
+
+    v_grouped, v_packed, scheds = {}, {}, []
+    start = 0
+    for l, ((h, w), m) in enumerate(zip(spatial_shapes, meta)):
+        v_l = jax.lax.dynamic_slice_in_dim(value, start, h * w, axis=1)
+        start += h * w
+        if m.packed:
+            v_l = jnp.transpose(v_l, (0, 2, 1, 3)).reshape(bm, h * w, D)
+            v_packed[l] = _pack_level(v_l, m, bm, D)
+        else:
+            # [B, h*w, M, D] -> [B, M, h, D, w] -> [BM, h*D, w]
+            vt = jnp.transpose(v_l.reshape(B, h, w, M, D), (0, 3, 1, 4, 2))
+            vt = vt.reshape(bm, h * D, w)
+            v_grouped[l] = jnp.pad(vt, ((0, 0), (0, (m.hpad - h) * D), (0, m.wpad - w)))
+            y_pix = loc_pix[:, 2 * l + 1]
+            scheds.append(_group_schedule(y_pix, h, m.hb, m.ch, gsz))
+    loc_pix = loc_pix.reshape(bm, 2 * L, t * ptq)
+    sched = (
+        jnp.stack(scheds, axis=1)
+        if scheds
+        else jnp.zeros((bm * t, 1, P // gsz, 2), jnp.int32)  # dummy: all packed
+    )
+    nsched = sched.size // (bm * t)
+    sched = sched.reshape(-1)
+
+    tprog = t // tpp
+    kernel = functools.partial(
+        _v9_kernel, meta=meta, D=D, P=P, TQ=tq, GSZ=gsz, TPP=tpp, NSCHED=nsched,
+        ablate=os.environ.get("VNEXT_MSDA_V9_ABLATE", ""),
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bm, tprog),
+        in_specs=[
+            pl.BlockSpec((1, 2 * L, tpp * ptq), lambda b, ti, *_: (b, 0, ti)),
+            pl.BlockSpec((1, L, tpp * ptq), lambda b, ti, *_: (b, 0, ti)),
+        ]
+        + [
+            pl.BlockSpec((1, meta[l].hp * D, 128), lambda b, ti, *_: (b, 0, 0))
+            for l in packed
+        ]
+        + [
+            # whole level, VMEM-resident across all tiles of a (batch*head)
+            pl.BlockSpec((1, meta[l].hpad * D, meta[l].wpad), lambda b, ti, *_: (b, 0, 0))
+            for l in grouped
+        ],
+        out_specs=pl.BlockSpec((1, D, tpp * tq), lambda b, ti, *_: (b, 0, ti)),
+        scratch_shapes=[pltpu.VMEM((D, tq), jnp.float32)],
+    )
+
+    # typical-case executed flops (locality => ~1 chunk/group/level)
+    ng = P // gsz
+    flops = sum(
+        2 * bm * t * ng * meta[l].hb * D * meta[l].wpad * gsz * tq for l in grouped
+    ) + sum(2 * bm * t * meta[l].hp * D * 128 * ptq for l in packed)
+    bytes_acc = sum(v.size for v in v_grouped.values()) * value.dtype.itemsize + sum(
+        v.size for v in v_packed.values()
+    ) * value.dtype.itemsize
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bm, D, q_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_acc, transcendentals=0
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(
+        sched,
+        loc_pix,
+        w_T,
+        *[v_packed[l] for l in packed],
+        *[v_grouped[l] for l in grouped],
+    )
+
+    out = jnp.swapaxes(out, 1, 2)[:, :Q]                        # [BM, Q, D]
+    out = out.reshape(B, M, Q, D)
+    return jnp.moveaxis(out, 1, 2).reshape(B, Q, M * D).astype(value.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def ms_deform_attn_pallas_v9(value, spatial_shapes, sampling_locations, attention_weights):
+    """v9 forward; backward reuses the v6 dedicated kernels."""
+    return _forward_v9(value, spatial_shapes, sampling_locations, attention_weights)
+
+
+def _fwd(value, spatial_shapes, sampling_locations, attention_weights):
+    out = _forward_v9(value, spatial_shapes, sampling_locations, attention_weights)
+    return out, (value, sampling_locations, attention_weights)
+
+
+def _bwd(spatial_shapes, residuals, g):
+    from .ms_deform_attn_pallas import _bwd as _bwd_v6
+
+    return _bwd_v6(spatial_shapes, residuals, g)
+
+
+ms_deform_attn_pallas_v9.defvjp(_fwd, _bwd)
