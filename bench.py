@@ -122,7 +122,11 @@ def bench_idol_infer():
             "per_clip_ms": round(1000 * elapsed / n_iters, 1),
             "compiled_gflops_per_clip": round(flops / 1e9, 1),
             "mxu_utilization_est": round(mfu, 4) if mfu else None,
-            "msda_kernel": "v8" if os.environ.get("VNEXT_MSDA_V8", "1") == "1" else "v7",
+            "msda_kernel": (
+                "v8" if os.environ.get("VNEXT_MSDA_V8", "0") == "1"
+                else "v9" if os.environ.get("VNEXT_MSDA_V9", "1") == "1"
+                else "v7"
+            ),
         },
     }
 

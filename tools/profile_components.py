@@ -22,7 +22,7 @@ from vnext_tpu.models.idol import build_idol_model
 from vnext_tpu.config import get_cfg, add_idol_config
 
 T, H, W = 10, 480, 864
-REPS = 6
+REPS = int(os.environ.get("REPS", "6"))
 
 
 def chained(model, params, frames, sizes, stage, reps=REPS):

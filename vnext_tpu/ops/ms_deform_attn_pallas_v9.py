@@ -110,7 +110,12 @@ def _v9_kernel(sched_ref, *rest, meta, D, P, TQ, GSZ, TPP, NSCHED, ablate=""):
                         acc_ref[:] += s[:, j * TQ : (j + 1) * TQ]
                     return 0
 
-                jax.lax.fori_loop(0, nch, chunk_body, 0)
+                # chunk 0 runs unconditionally: when nch == 0 every tent
+                # weight in the window is zero (no corner lands in [0, h)),
+                # so it contributes exact zeros — and the p50 case (nch == 1)
+                # then needs no loop iterations at all
+                chunk_body(0, 0)
+                jax.lax.fori_loop(1, nch, chunk_body, 0)
 
         # ---- packed levels: 4-weight folded selector + packed-row pick ----
         for l in packed if not skip_packed else []:
@@ -150,9 +155,9 @@ def _forward_v9(value, spatial_shapes, sampling_locations, attention_weights):
     spatial_shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
     assert len(spatial_shapes) == L
 
-    hb = int(os.environ.get("VNEXT_MSDA_V9_HB", "4"))
+    hb = int(os.environ.get("VNEXT_MSDA_V9_HB", "8"))
     tq = int(os.environ.get("VNEXT_MSDA_V9_TQ", "256"))
-    gsz = int(os.environ.get("VNEXT_MSDA_V9_GSZ", "2"))
+    gsz = int(os.environ.get("VNEXT_MSDA_V9_GSZ", "4"))
     pack = os.environ.get("VNEXT_MSDA_V9_PACK", "1") == "1"
     tpp = int(os.environ.get("VNEXT_MSDA_V9_TPP", "2"))
     if P % gsz != 0:
@@ -175,17 +180,40 @@ def _forward_v9(value, spatial_shapes, sampling_locations, attention_weights):
             constant_values=0.5,
         )
         w_p = jnp.pad(w_p, ((0, 0), (0, q_pad - Q), (0, 0), (0, 0), (0, 0)))
-    loc_T = jnp.transpose(loc_p.reshape(B, t, tq, M, L, P, 2), (0, 3, 4, 6, 1, 5, 2))
-    wh = np.zeros((1, 1, L, 2, 1, 1, 1), np.float32)
-    for l, (h, w) in enumerate(spatial_shapes):
-        wh[0, 0, l, 0] = w
-        wh[0, 0, l, 1] = h
-    loc_pix = (loc_T.astype(jnp.float32) * jnp.asarray(wh) - 0.5).reshape(
-        bm, 2 * L, t, P, tq
-    )
-    w_T = jnp.transpose(w_p.reshape(B, t, tq, M, L, P), (0, 3, 4, 1, 5, 2)).reshape(
-        bm, L, t * ptq
-    )
+    if os.environ.get("VNEXT_MSDA_V9_PREP2", "1") == "1":
+        # two-stage relayout: (1) clean 2D tile transpose with both minor
+        # dims >= 128 (runs near HBM bandwidth), then (2) a major-dim
+        # permutation that moves whole tq-length contiguous lines. The
+        # direct single transpose leaves the size-2 (x,y) axis minor and
+        # XLA executes it ~10x below bandwidth.
+        c = M * L * P * 2
+        loc_T = jnp.swapaxes(loc_p.reshape(B, t, tq, c), 2, 3)        # [B,t,c,tq]
+        loc_T = jnp.transpose(
+            loc_T.reshape(B, t, M, L, P, 2, tq), (0, 2, 3, 5, 1, 4, 6)
+        )                                                              # [B,M,L,2,t,P,tq]
+        wh = np.zeros((1, 1, L, 2, 1, 1, 1), np.float32)
+        for l, (h, w) in enumerate(spatial_shapes):
+            wh[0, 0, l, 0] = w
+            wh[0, 0, l, 1] = h
+        loc_pix = (loc_T.astype(jnp.float32) * jnp.asarray(wh) - 0.5).reshape(
+            bm, 2 * L, t, P, tq
+        )
+        w_T = jnp.swapaxes(w_p.reshape(B, t, tq, M * L * P), 2, 3)     # [B,t,MLP,tq]
+        w_T = jnp.transpose(
+            w_T.reshape(B, t, M, L, P, tq), (0, 2, 3, 1, 4, 5)
+        ).reshape(bm, L, t * ptq)
+    else:
+        loc_T = jnp.transpose(loc_p.reshape(B, t, tq, M, L, P, 2), (0, 3, 4, 6, 1, 5, 2))
+        wh = np.zeros((1, 1, L, 2, 1, 1, 1), np.float32)
+        for l, (h, w) in enumerate(spatial_shapes):
+            wh[0, 0, l, 0] = w
+            wh[0, 0, l, 1] = h
+        loc_pix = (loc_T.astype(jnp.float32) * jnp.asarray(wh) - 0.5).reshape(
+            bm, 2 * L, t, P, tq
+        )
+        w_T = jnp.transpose(w_p.reshape(B, t, tq, M, L, P), (0, 3, 4, 1, 5, 2)).reshape(
+            bm, L, t * ptq
+        )
 
     v_grouped, v_packed, scheds = {}, {}, []
     start = 0
