@@ -42,6 +42,30 @@ from .ms_deform_attn_pallas_v8 import _LevelMeta, _group_schedule, _pack_level
 Array = jnp.ndarray
 
 
+def _packed_schedule(x_pix: Array, y_pix: Array, m, hpb: int, ng: int):
+    """(rmin, nch) window schedule in PACKED-row space for one lane-packed
+    level, over all P*TQ samples of each query tile. Inactive samples
+    (x or y fully out of range) have all-zero selector columns in the
+    kernel, so they must not constrain the window. [BM, T, P, TQ] -> the
+    same [BM*T, NG, 2] layout as _group_schedule (broadcast over groups)."""
+    bm, t, p, tq = y_pix.shape
+    xf = x_pix.reshape(bm, t, p * tq)
+    yf = y_pix.reshape(bm, t, p * tq)
+    yc = jnp.clip(yf, -2.0 * m.h - 4, 2.0 * m.h + 4)
+    r0 = jnp.clip(jnp.floor(jnp.floor(yc) / m.k), 0, m.hp - 1).astype(jnp.int32)
+    active = (
+        (xf >= -1.0) & (xf <= float(m.w)) & (yf >= -1.0) & (yf <= float(m.h))
+    )
+    rmin = jnp.min(jnp.where(active, r0, m.hp), axis=-1)
+    rmax = jnp.max(jnp.where(active, r0, -1), axis=-1)
+    span = jnp.maximum(rmax - rmin + 1, 0)
+    nch = jnp.where(active.any(axis=-1), -(-span // hpb), 0).astype(jnp.int32)
+    sched = jnp.stack([jnp.clip(rmin, 0, m.hp - 1), nch], axis=-1)  # [BM, T, 2]
+    return jnp.broadcast_to(sched[:, :, None, :], (bm, t, ng, 2)).reshape(
+        bm * t, ng, 2
+    )
+
+
 def _v9_kernel(sched_ref, *rest, meta, D, P, TQ, GSZ, TPP, NSCHED, ablate=""):
     L = len(meta)
     grouped = [l for l, m in enumerate(meta) if not m.packed]
@@ -118,7 +142,7 @@ def _v9_kernel(sched_ref, *rest, meta, D, P, TQ, GSZ, TPP, NSCHED, ablate=""):
                 jax.lax.fori_loop(1, nch, chunk_body, 0)
 
         # ---- packed levels: 4-weight folded selector + packed-row pick ----
-        for l in packed if not skip_packed else []:
+        for pi, l in enumerate(packed if not skip_packed else []):
             m = meta[l]
             cols = pl.ds(tcol, PTQ)
             x = loc_ref[0, 2 * l : 2 * l + 1, cols].astype(jnp.float32)       # [1, PTQ]
@@ -136,15 +160,41 @@ def _v9_kernel(sched_ref, *rest, meta, D, P, TQ, GSZ, TPP, NSCHED, ablate=""):
                 (1.0 - ty) * jnp.maximum(0.0, 1.0 - jnp.abs(xs_lo - iota_c))
                 + ty * jnp.maximum(0.0, 1.0 - jnp.abs(xs_hi - iota_c))
             ) * attn
-            vp = vpack_refs[l][0]                                             # [hp*D, 128]
-            u = jnp.dot(vp, rx4.astype(vp.dtype), preferred_element_type=jnp.float32)
-            s = None
-            for rp in range(m.hp):
-                mask = (r0 == float(rp)).astype(jnp.float32)                  # [1, PTQ]
-                term = mask * u[rp * D : (rp + 1) * D, :]
-                s = term if s is None else s + term                           # [D, PTQ]
-            for p in range(P):
-                acc_ref[:] += s[:, p * TQ : (p + 1) * TQ]
+            rx4_v = rx4.astype(vpack_refs[l].dtype)
+            hpb = getattr(m, "hpb", 0)
+            if hpb and hpb < m.hp:
+                # windowed: dynamic hpb-packed-row slice per chunk instead of
+                # the full hp-row matmul (inactive samples have all-zero
+                # selector columns, so out-of-window rows can't contribute)
+                base = (pid * TPP + tp) * NSCHED + ((len(grouped) + pi) * NG) * 2
+                rst = sched_ref[base]
+                nchp = sched_ref[base + 1]
+
+                def pchunk(ch, _, l=l, m=m, hpb=hpb, rx4_v=rx4_v, r0=r0, rst=rst):
+                    r0w = jnp.clip(rst + ch * hpb, 0, m.hp - 1)
+                    vpw = vpack_refs[l][0, pl.ds(r0w * D, hpb * D), :]
+                    u = jnp.dot(vpw, rx4_v, preferred_element_type=jnp.float32)
+                    s = None
+                    for rp in range(hpb):
+                        mask = (r0 == (r0w + rp).astype(jnp.float32)).astype(jnp.float32)
+                        term = mask * u[rp * D : (rp + 1) * D, :]
+                        s = term if s is None else s + term                   # [D, PTQ]
+                    for p in range(P):
+                        acc_ref[:] += s[:, p * TQ : (p + 1) * TQ]
+                    return 0
+
+                pchunk(0, 0)
+                jax.lax.fori_loop(1, nchp, pchunk, 0)
+            else:
+                vp = vpack_refs[l][0]                                         # [hp*D, 128]
+                u = jnp.dot(vp, rx4_v, preferred_element_type=jnp.float32)
+                s = None
+                for rp in range(m.hp):
+                    mask = (r0 == float(rp)).astype(jnp.float32)              # [1, PTQ]
+                    term = mask * u[rp * D : (rp + 1) * D, :]
+                    s = term if s is None else s + term                       # [D, PTQ]
+                for p in range(P):
+                    acc_ref[:] += s[:, p * TQ : (p + 1) * TQ]
 
         out_ref[0, :, pl.ds(tp * TQ, TQ)] = acc_ref[:].astype(out_ref.dtype)
 
@@ -165,6 +215,11 @@ def _forward_v9(value, spatial_shapes, sampling_locations, attention_weights):
     meta = [_LevelMeta(h, w, hb, allow_pack=pack) for h, w in spatial_shapes]
     grouped = [l for l, m in enumerate(meta) if not m.packed]
     packed = [l for l, m in enumerate(meta) if m.packed]
+    # window packed levels whose plane is tall enough that the full-height
+    # matmul wastes most rows (hp > hpb): dynamic hpb-row window + schedule
+    hpb_cap = int(os.environ.get("VNEXT_MSDA_V9_HPB", "0"))
+    for m in meta:
+        m.hpb = hpb_cap if (m.packed and hpb_cap and m.hp > hpb_cap) else 0
 
     bm = B * M
     q_pad = ((Q + tq * tpp - 1) // (tq * tpp)) * (tq * tpp)
@@ -215,7 +270,8 @@ def _forward_v9(value, spatial_shapes, sampling_locations, attention_weights):
             bm, L, t * ptq
         )
 
-    v_grouped, v_packed, scheds = {}, {}, []
+    ng = P // gsz
+    v_grouped, v_packed, scheds, p_scheds = {}, {}, [], []
     start = 0
     for l, ((h, w), m) in enumerate(zip(spatial_shapes, meta)):
         v_l = jax.lax.dynamic_slice_in_dim(value, start, h * w, axis=1)
@@ -223,6 +279,18 @@ def _forward_v9(value, spatial_shapes, sampling_locations, attention_weights):
         if m.packed:
             v_l = jnp.transpose(v_l, (0, 2, 1, 3)).reshape(bm, h * w, D)
             v_packed[l] = _pack_level(v_l, m, bm, D)
+            if m.hpb:
+                # window may start at hp-1: pad hpb-1 zero packed rows
+                v_packed[l] = jnp.pad(
+                    v_packed[l], ((0, 0), (0, (m.hpb - 1) * D), (0, 0))
+                )
+                p_scheds.append(
+                    _packed_schedule(
+                        loc_pix[:, 2 * l], loc_pix[:, 2 * l + 1], m, m.hpb, ng
+                    )
+                )
+            else:
+                p_scheds.append(None)
         else:
             # [B, h*w, M, D] -> [B, M, h, D, w] -> [BM, h*D, w]
             vt = jnp.transpose(v_l.reshape(B, h, w, M, D), (0, 3, 1, 4, 2))
@@ -230,6 +298,13 @@ def _forward_v9(value, spatial_shapes, sampling_locations, attention_weights):
             v_grouped[l] = jnp.pad(vt, ((0, 0), (0, (m.hpad - h) * D), (0, m.wpad - w)))
             y_pix = loc_pix[:, 2 * l + 1]
             scheds.append(_group_schedule(y_pix, h, m.hb, m.ch, gsz))
+    if any(s is not None for s in p_scheds):
+        # packed schedules sit at stack positions len(grouped)+pi (kernel
+        # contract); non-windowed packed levels get zero placeholders
+        scheds += [
+            s if s is not None else jnp.zeros((bm * t, ng, 2), jnp.int32)
+            for s in p_scheds
+        ]
     loc_pix = loc_pix.reshape(bm, 2 * L, t * ptq)
     sched = (
         jnp.stack(scheds, axis=1)
@@ -253,7 +328,12 @@ def _forward_v9(value, spatial_shapes, sampling_locations, attention_weights):
             pl.BlockSpec((1, L, tpp * ptq), lambda b, ti, *_: (b, 0, ti)),
         ]
         + [
-            pl.BlockSpec((1, meta[l].hp * D, 128), lambda b, ti, *_: (b, 0, 0))
+            # windowed planes carry hpb-1 extra zero packed rows so the last
+            # window (start hp-1) stays in-block
+            pl.BlockSpec(
+                (1, (meta[l].hp + max(meta[l].hpb - 1, 0)) * D, 128),
+                lambda b, ti, *_: (b, 0, 0),
+            )
             for l in packed
         ]
         + [
