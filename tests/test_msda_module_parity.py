@@ -104,3 +104,64 @@ def test_offset_bias_init_matches_reference_scheme():
         np.testing.assert_allclose(grid[:, 0, p], base * (p + 1), rtol=1e-5, atol=1e-6)
     # same across levels
     np.testing.assert_allclose(grid[:, 0], grid[:, L - 1])
+
+
+def test_msda_module_channel_major_matches_standard():
+    """channel_major=True path == standard path with the same params."""
+    rng = np.random.RandomState(3)
+    M, L, P, C = 2, 2, 2, 16
+    shapes = ((8, 10), (4, 5))
+    S = sum(h * w for h, w in shapes)
+    B = 2
+    src = jnp.asarray(rng.randn(B, S, C), jnp.float32)
+    query = jnp.asarray(rng.randn(B, S, C), jnp.float32)
+    ref = jnp.asarray(rng.rand(B, S, L, 2), jnp.float32)
+    mask = jnp.asarray(rng.rand(B, S) > 0.9)
+
+    mod = MSDeformAttnModule(d_model=C, n_levels=L, n_heads=M, n_points=P)
+    params = mod.init(jax.random.PRNGKey(0), query, ref, src, shapes, mask)
+    out_std = mod.apply(params, query, ref, src, shapes, mask)
+
+    queryT = jnp.swapaxes(query, 1, 2)
+    srcT = jnp.swapaxes(src, 1, 2)
+    refT = jnp.transpose(ref, (0, 2, 3, 1))           # [B, L, 2, S]
+    outT = mod.apply(
+        params, queryT, refT, srcT, shapes, mask, channel_major=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(outT, 1, 2)), np.asarray(out_std), atol=2e-5
+    )
+
+
+def test_encoder_layer_channel_major_matches_standard():
+    from vnext_tpu.models.deformable_transformer import EncoderLayer
+
+    rng = np.random.RandomState(5)
+    M, L, P, C = 2, 2, 2, 16
+    shapes = ((8, 10), (4, 5))
+    S = sum(h * w for h, w in shapes)
+    B = 2
+    src = jnp.asarray(rng.randn(B, S, C), jnp.float32)
+    pos = jnp.asarray(rng.randn(B, S, C), jnp.float32)
+    ref = jnp.asarray(rng.rand(B, S, L, 2), jnp.float32)
+    mask = jnp.asarray(rng.rand(B, S) > 0.9)
+
+    layer = EncoderLayer(d_model=C, d_ffn=32, n_levels=L, n_heads=M, n_points=P)
+    params = layer.init(
+        {"params": jax.random.PRNGKey(0)}, src, pos, ref, shapes, mask, False
+    )
+    out_std = layer.apply(params, src, pos, ref, shapes, mask, False)
+
+    outT = layer.apply(
+        params,
+        jnp.swapaxes(src, 1, 2),
+        jnp.swapaxes(pos, 1, 2),
+        jnp.transpose(ref, (0, 2, 3, 1)),
+        shapes,
+        mask,
+        False,
+        channel_major=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(outT, 1, 2)), np.asarray(out_std), atol=2e-5
+    )

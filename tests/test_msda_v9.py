@@ -97,3 +97,41 @@ def test_v9_grads_match_oracle():
     g_v9 = jax.grad(loss_v9, argnums=(0, 1, 2))(val, loc, w)
     for a, b in zip(g_ref, g_v9):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-4)
+
+
+@pytest.mark.parametrize("shapes", [SHAPES_SMALL, SHAPES_MIXED])
+def test_v9_cm_matches_standard(shapes):
+    """Channel-major entry == standard entry (same kernel, no relayouts)."""
+    from vnext_tpu.ops.ms_deform_attn_pallas_v9 import ms_deform_attn_pallas_v9_cm
+
+    val, loc, w = _inputs(3, shapes, 50, "local")
+    ref = ms_deform_attn_pallas_v9(val, shapes, loc, w)          # [B, Q, M*D]
+
+    b, s, m, d = val.shape
+    l = len(shapes)
+    valT = jnp.swapaxes(val.reshape(b, s, m * d), 1, 2)          # [B, MD, S]
+    loc_cm = jnp.moveaxis(loc, 1, 5)                             # [B, M, L, P, 2, S]
+    w_cm = jnp.moveaxis(w, 1, 4)                                 # [B, M, L, P, S]
+    out = ms_deform_attn_pallas_v9_cm(valT, shapes, loc_cm, w_cm)
+    out = jnp.swapaxes(out, 1, 2)                                # [B, Q, MD]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_cm_dispatch_fallback_matches():
+    """ms_deform_attn_cm CPU fallback == oracle on transposed layouts."""
+    from vnext_tpu.ops.ms_deform_attn import ms_deform_attn_cm
+
+    val, loc, w = _inputs(4, SHAPES_SMALL, 30)
+    q = 30
+    s = val.shape[1]
+    loc = loc[:, :s]
+    w_ = w[:, :s]
+    ref = ms_deform_attn_core_jnp(val, SHAPES_SMALL, loc, w_)
+    b, _, m, d = val.shape
+    valT = jnp.swapaxes(val.reshape(b, s, m * d), 1, 2)
+    out = ms_deform_attn_cm(
+        valT, SHAPES_SMALL, jnp.moveaxis(loc, 1, 5), jnp.moveaxis(w_, 1, 4)
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(out, 1, 2)), np.asarray(ref), atol=1e-5
+    )

@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Sweep v9 MSDA kernel knobs on REAL model sampling distributions (TPU).
+
+Usage: python tools/sweep_msda_v9.py "TQ=256,HB=8,ABLATE=empty" ...
+Each config runs in a fresh subprocess (env is read at trace time).
+Knobs: TQ GSZ HB PACK TPP HPB PREP2 ABLATE; DEC=1 switches to decoder
+shapes (Q=300) with the real decoder sampling distribution.
+"""
+import os
+import subprocess
+import sys
+
+SNIPPET = r"""
+import sys, os, time
+sys.path.insert(0, ".")
+import jax, jax.numpy as jnp, numpy as np
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+sys.path.insert(0, "tools")
+from profile_pallas import SHAPES, M, D, P, L, T
+from vnext_tpu.ops.ms_deform_attn_pallas_v9 import ms_deform_attn_pallas_v9
+T = int(os.environ.get("VNEXT_SWEEP_T", str(T)))
+rng = np.random.RandomState(0)
+S = sum(h * w for h, w in SHAPES)
+val = jnp.asarray(rng.randn(T, S, M, D), jnp.bfloat16)
+z = np.load("/tmp/msda_real_locs.npz")
+dec = os.environ.get("VNEXT_SWEEP_DEC", "0") == "1"
+key = "dec" if dec else "enc"
+loc = jnp.asarray(np.tile(z[key + "_loc"][:1], (T, 1, 1, 1, 1, 1)), jnp.float32)
+attn = jnp.asarray(np.tile(z[key + "_attn"][:1], (T, 1, 1, 1, 1)), jnp.bfloat16)
+@jax.jit
+def run(v):
+    def body(carry, _):
+        out = ms_deform_attn_pallas_v9(carry, SHAPES, loc, attn)
+        fb = (jnp.sum(out) * 1e-12).astype(carry.dtype)
+        return carry + fb, jnp.sum(out).astype(jnp.float32)
+    final, s = jax.lax.scan(body, v, None, length=8)
+    return jnp.sum(s)
+t0 = time.time(); float(run(val)); ct = time.time() - t0
+t0 = time.time(); float(run(val)); rt = time.time() - t0
+cfg = {k: os.environ.get("VNEXT_MSDA_V9_" + k, "-")
+       for k in ("TQ", "GSZ", "HB", "PACK", "TPP", "HPB", "PREP2", "ABLATE",
+                 "NOPACK_L", "ZPREP")}
+cfg["DEC"] = os.environ.get("VNEXT_SWEEP_DEC", "0")
+cfg["T"] = T
+print(f"RESULT {cfg} {rt / 8 * 1000:.2f} ms/iter (compile {ct:.0f}s)", flush=True)
+"""
+
+for spec in sys.argv[1:]:
+    env = dict(os.environ)
+    for kv in spec.split(","):
+        k, v = kv.split("=")
+        if k == "DEC":
+            env["VNEXT_SWEEP_DEC"] = v
+        elif k == "T":
+            env["VNEXT_SWEEP_T"] = v
+        else:
+            env[f"VNEXT_MSDA_V9_{k}"] = v
+    r = subprocess.run([sys.executable, "-c", SNIPPET], env=env,
+                       capture_output=True, text=True)
+    out = [ln for ln in r.stdout.splitlines() if ln.startswith("RESULT")]
+    print(out[0] if out else f"FAILED {spec}\n{r.stderr[-2000:]}", flush=True)

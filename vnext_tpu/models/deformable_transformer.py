@@ -23,8 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.ms_deform_attn import ms_deform_attn
-from .layers import MLP, MultiHeadAttention, inverse_sigmoid
+from ..ops.ms_deform_attn import ms_deform_attn, ms_deform_attn_cm
+from .layers import MLP, DualDense, MultiHeadAttention, inverse_sigmoid
 
 Array = jnp.ndarray
 Dtype = Any
@@ -60,36 +60,65 @@ class MSDeformAttnModule(nn.Module):
     @nn.compact
     def __call__(
         self,
-        query: Array,                      # [B, Q, C]
+        query: Array,                      # [B, Q, C]  (CM: [B, C, S])
         reference_points: Array,           # [B, Q, L, 2] or [B, Q, L, 4], in [0,1]
-        src: Array,                        # [B, S, C] flattened multi-level features
+        src: Array,                        # [B, S, C]  (CM: [B, C, S])
         spatial_shapes: Sequence[Tuple[int, int]],
         padding_mask: Optional[Array] = None,  # [B, S] True on padding
+        channel_major: bool = False,       # CM: reference_points is [B, L, 2, S]
     ) -> Array:
-        b, q, _ = query.shape
         m, l, p = self.n_heads, self.n_levels, self.n_points
         d = self.d_model // m
 
-        value = nn.Dense(self.d_model, dtype=self.dtype, name="value_proj")(src)
-        if padding_mask is not None:
-            value = jnp.where(padding_mask[..., None], 0.0, value)
-        value = value.reshape(b, -1, m, d)
-
-        offsets = nn.Dense(
+        value_proj = DualDense(self.d_model, dtype=self.dtype, name="value_proj")
+        offsets_proj = DualDense(
             m * l * p * 2,
             dtype=self.dtype,
             kernel_init=nn.initializers.zeros,
             bias_init=_offset_bias_init(m, l, p),
             name="sampling_offsets",
-        )(query).reshape(b, q, m, l, p, 2)
-
-        attn = nn.Dense(
+        )
+        attn_proj = DualDense(
             m * l * p,
             dtype=self.dtype,
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
             name="attention_weights",
-        )(query).reshape(b, q, m, l * p)
+        )
+        output_proj = DualDense(self.d_model, dtype=self.dtype, name="output_proj")
+
+        if channel_major:
+            # feature-major inference path: projections emit head-major
+            # channels directly, so the MSDA kernel needs no query relayout
+            b, _, s = query.shape
+            assert reference_points.shape[-2] == 2, "CM path is encoder-only"
+            valueT = value_proj(src, channel_major=True)          # [B, MD, S]
+            if padding_mask is not None:                          # [B, S]
+                valueT = jnp.where(padding_mask[:, None, :], 0.0, valueT)
+                assert valueT.ndim == 3
+
+            offsets = offsets_proj(query, channel_major=True)     # [B, MLP2, S]
+            offsets = offsets.reshape(b, m, l, p, 2, s).astype(jnp.float32)
+            attn = attn_proj(query, channel_major=True)           # [B, MLP, S]
+            attn = attn.reshape(b, m, l * p, s)
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=2).astype(self.dtype)
+            attn = attn.reshape(b, m, l, p, s)
+
+            ref = reference_points.astype(jnp.float32)            # [B, L, 2, S]
+            wh = jnp.asarray([[w, h] for h, w in spatial_shapes], dtype=jnp.float32)
+            loc = ref[:, None, :, None] + offsets / wh[None, None, :, None, :, None]
+
+            out = ms_deform_attn_cm(valueT, spatial_shapes, loc, attn, impl=self.impl)
+            return output_proj(out, channel_major=True)
+
+        b, q, _ = query.shape
+        value = value_proj(src)
+        if padding_mask is not None:
+            value = jnp.where(padding_mask[..., None], 0.0, value)
+        value = value.reshape(b, -1, m, d)
+
+        offsets = offsets_proj(query).reshape(b, q, m, l, p, 2)
+        attn = attn_proj(query).reshape(b, q, m, l * p)
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
         attn = attn.reshape(b, q, m, l, p)
 
@@ -106,7 +135,7 @@ class MSDeformAttnModule(nn.Module):
             )
 
         out = ms_deform_attn(value, spatial_shapes, loc, attn, impl=self.impl)
-        return nn.Dense(self.d_model, dtype=self.dtype, name="output_proj")(out)
+        return output_proj(out)
 
 
 class EncoderLayer(nn.Module):
@@ -120,20 +149,33 @@ class EncoderLayer(nn.Module):
     msda_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, src, pos, reference_points, spatial_shapes, padding_mask, train: bool):
+    def __call__(
+        self, src, pos, reference_points, spatial_shapes, padding_mask,
+        train: bool, channel_major: bool = False,
+    ):
+        # channel_major: src/pos are [B, C, S], reference_points [B, L, 2, S],
+        # padding_mask stays [B, S]; all ops run feature-major (axis -2)
+        feat_ax = -2 if channel_major else -1
         attn_out = MSDeformAttnModule(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
             dtype=self.dtype, impl=self.msda_impl, name="self_attn",
-        )(src + pos, reference_points, src, spatial_shapes, padding_mask)
+        )(src + pos, reference_points, src, spatial_shapes, padding_mask,
+          channel_major=channel_major)
         attn_out = nn.Dropout(self.dropout, deterministic=not train)(attn_out)
-        src = nn.LayerNorm(dtype=self.dtype, name="norm1")(src + attn_out)
+        src = nn.LayerNorm(
+            dtype=self.dtype, reduction_axes=feat_ax, feature_axes=feat_ax,
+            name="norm1",
+        )(src + attn_out)
 
-        ff = nn.Dense(self.d_ffn, dtype=self.dtype, name="linear1")(src)
+        ff = DualDense(self.d_ffn, dtype=self.dtype, name="linear1")(src, channel_major)
         ff = nn.relu(ff)
         ff = nn.Dropout(self.dropout, deterministic=not train)(ff)
-        ff = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(ff)
+        ff = DualDense(self.d_model, dtype=self.dtype, name="linear2")(ff, channel_major)
         ff = nn.Dropout(self.dropout, deterministic=not train)(ff)
-        return nn.LayerNorm(dtype=self.dtype, name="norm2")(src + ff)
+        return nn.LayerNorm(
+            dtype=self.dtype, reduction_axes=feat_ax, feature_axes=feat_ax,
+            name="norm2",
+        )(src + ff)
 
 
 class DecoderLayer(nn.Module):
@@ -201,6 +243,9 @@ class DeformableTransformer(nn.Module):
     with_box_refine: bool = True
     dtype: Dtype = jnp.float32
     msda_impl: str = "auto"
+    # run encoder layers feature-major at inference: kills the per-layer
+    # [B, Q, head...] relayouts feeding the MSDA kernel (see EncoderLayer)
+    channel_major: bool = True
 
     def setup(self):
         self.level_embed = self.param(
@@ -281,9 +326,21 @@ class DeformableTransformer(nn.Module):
 
         # encoder
         enc_ref = encoder_reference_points(spatial_shapes, valid_ratios)
-        memory = src_flat
-        for layer in self.encoder_layers:
-            memory = layer(memory, pos_flat, enc_ref, spatial_shapes, mask_flat, train)
+        if self.channel_major and not train:
+            # one transpose in, one out; every layer in between is relayout-free
+            memT = jnp.swapaxes(src_flat, 1, 2)                    # [B, C, S]
+            posT = jnp.swapaxes(pos_flat, 1, 2)
+            refT = jnp.transpose(enc_ref, (0, 2, 3, 1))            # [B, L, 2, S]
+            for layer in self.encoder_layers:
+                memT = layer(
+                    memT, posT, refT, spatial_shapes, mask_flat, train,
+                    channel_major=True,
+                )
+            memory = jnp.swapaxes(memT, 1, 2)
+        else:
+            memory = src_flat
+            for layer in self.encoder_layers:
+                memory = layer(memory, pos_flat, enc_ref, spatial_shapes, mask_flat, train)
 
         # decoder
         query_pos, tgt = jnp.split(query_embed, 2, axis=1)

@@ -24,6 +24,44 @@ def inverse_sigmoid(x: Array, eps: float = 1e-5) -> Array:
     return jnp.log(x1 / x2)
 
 
+class DualDense(nn.Module):
+    """nn.Dense-compatible linear that also accepts channel-major input.
+
+    Same param names/shapes as nn.Dense (kernel [in, out], bias [out]) so
+    checkpoints and torch-imported weights are layout-agnostic. With
+    ``channel_major=True`` the input/output are [B, C, S] (feature axis -2)
+    and the matmul runs as einsum over the major axis — used by the
+    channel-major encoder path to keep tokens feature-major end to end.
+    """
+
+    features: int
+    dtype: Dtype = jnp.float32
+    use_bias: bool = True
+    kernel_init: Callable = nn.linear.default_kernel_init
+    bias_init: Callable = nn.initializers.zeros_init()
+
+    @nn.compact
+    def __call__(self, x: Array, channel_major: bool = False) -> Array:
+        in_c = x.shape[-2] if channel_major else x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init, (in_c, self.features))
+        bias = (
+            self.param("bias", self.bias_init, (self.features,))
+            if self.use_bias
+            else None
+        )
+        k = kernel.astype(self.dtype)
+        xc = x.astype(self.dtype)
+        if channel_major:
+            y = jnp.einsum("io,bis->bos", k, xc)
+            if bias is not None:
+                y = y + bias.astype(self.dtype)[:, None]
+            return y
+        y = xc @ k
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class MLP(nn.Module):
     """Simple relu MLP (reference: deformable_detr.py MLP)."""
 

@@ -105,12 +105,24 @@ class MSDeformAttnPixelDecoder(nn.Module):
         valid_ratios = jnp.stack(vr, 1)
         enc_ref = encoder_reference_points(spatial_shapes, valid_ratios)
 
-        memory = src_flat
-        for i in range(self.num_encoder_layers):
-            memory = EncoderLayer(
-                self.hidden_dim, self.hidden_dim * 4, 3, self.n_heads, self.n_points,
-                0.0, self.dtype, self.msda_impl, name=f"encoder_{i}",
-            )(memory, pos_flat, enc_ref, spatial_shapes, mask_flat, train)
+        if not train:
+            # feature-major encoder (see DeformableTransformer.channel_major)
+            memT = jnp.swapaxes(src_flat, 1, 2)
+            posT = jnp.swapaxes(pos_flat, 1, 2)
+            refT = jnp.transpose(enc_ref, (0, 2, 3, 1))
+            for i in range(self.num_encoder_layers):
+                memT = EncoderLayer(
+                    self.hidden_dim, self.hidden_dim * 4, 3, self.n_heads, self.n_points,
+                    0.0, self.dtype, self.msda_impl, name=f"encoder_{i}",
+                )(memT, posT, refT, spatial_shapes, mask_flat, train, channel_major=True)
+            memory = jnp.swapaxes(memT, 1, 2)
+        else:
+            memory = src_flat
+            for i in range(self.num_encoder_layers):
+                memory = EncoderLayer(
+                    self.hidden_dim, self.hidden_dim * 4, 3, self.n_heads, self.n_points,
+                    0.0, self.dtype, self.msda_impl, name=f"encoder_{i}",
+                )(memory, pos_flat, enc_ref, spatial_shapes, mask_flat, train)
 
         # split back into levels
         outs = []

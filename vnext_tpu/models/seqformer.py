@@ -183,6 +183,7 @@ class SeqFormerTransformer(nn.Module):
     dec_n_points: int = 4
     dtype: Any = jnp.float32
     msda_impl: str = "auto"
+    channel_major: bool = True
 
     def setup(self):
         self.level_embed = self.param(
@@ -254,8 +255,20 @@ class SeqFormerTransformer(nn.Module):
         memory = src_flat.reshape(b * nf, -1, c)
         pos_fold = pos_flat.reshape(b * nf, -1, c)
         mask_fold = mask_flat.reshape(b * nf, -1)
-        for layer in self.encoder_layers:
-            memory = layer(memory, pos_fold, enc_ref, spatial_shapes, mask_fold, train)
+        if self.channel_major and not train:
+            # feature-major encoder (see DeformableTransformer.channel_major)
+            memT = jnp.swapaxes(memory, 1, 2)
+            posT = jnp.swapaxes(pos_fold, 1, 2)
+            refT = jnp.transpose(enc_ref, (0, 2, 3, 1))
+            for layer in self.encoder_layers:
+                memT = layer(
+                    memT, posT, refT, spatial_shapes, mask_fold, train,
+                    channel_major=True,
+                )
+            memory = jnp.swapaxes(memT, 1, 2)
+        else:
+            for layer in self.encoder_layers:
+                memory = layer(memory, pos_fold, enc_ref, spatial_shapes, mask_fold, train)
         memory = memory.reshape(b, nf, -1, c)
 
         # decoder

@@ -197,6 +197,44 @@ def sort_queries_by_row(sampling_locations: Array, attention_weights: Array):
     return loc_s, attn_s, inv
 
 
+def ms_deform_attn_cm(
+    valueT: Array,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    loc_cm: Array,
+    attn_cm: Array,
+    impl: str = "auto",
+) -> Array:
+    """Channel-major MSDeformAttn (inference path).
+
+    valueT [B, M*D, S], loc_cm [B, M, L, P, 2, S], attn_cm [B, M, L, P, S];
+    returns [B, M*D, S]. On TPU with v9 enabled this feeds the kernel its
+    native head-major layout directly (ms_deform_attn_pallas_v9_cm), skipping
+    the standard entry's [B, Q, ...] relayouts. Elsewhere it transposes to
+    the standard layout and defers to ``ms_deform_attn`` — bit-comparable up
+    to the shared f32->value-dtype rounding.
+    """
+    import os
+
+    use_v9 = (
+        impl in ("auto", "pallas_v9")
+        and os.environ.get("VNEXT_MSDA_V9", "1") == "1"
+        and (jax.default_backend() == "tpu" or impl == "pallas_v9")
+    )
+    if use_v9:
+        from .ms_deform_attn_pallas_v9 import ms_deform_attn_pallas_v9_cm
+
+        return ms_deform_attn_pallas_v9_cm(valueT, spatial_shapes, loc_cm, attn_cm)
+
+    B, MD, S = valueT.shape
+    M = loc_cm.shape[1]
+    D = MD // M
+    value = jnp.transpose(valueT.reshape(B, M, D, S), (0, 3, 1, 2))
+    loc = jnp.moveaxis(loc_cm, 5, 1)
+    attn = jnp.moveaxis(attn_cm, 4, 1)
+    out = ms_deform_attn(value, spatial_shapes, loc, attn, impl=impl)
+    return jnp.swapaxes(out, 1, 2)
+
+
 def ms_deform_attn(
     value: Array,
     spatial_shapes: Sequence[Tuple[int, int]],

@@ -199,12 +199,8 @@ def _v9_kernel(sched_ref, *rest, meta, D, P, TQ, GSZ, TPP, NSCHED, ablate=""):
         out_ref[0, :, pl.ds(tp * TQ, TQ)] = acc_ref[:].astype(out_ref.dtype)
 
 
-def _forward_v9(value, spatial_shapes, sampling_locations, attention_weights):
-    B, S, M, D = value.shape
-    _, Q, _, L, P, _ = sampling_locations.shape
-    spatial_shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
-    assert len(spatial_shapes) == L
-
+def _v9_config(spatial_shapes, P):
+    """Env-tunable kernel knobs + per-level schedule metadata."""
     hb = int(os.environ.get("VNEXT_MSDA_V9_HB", "8"))
     tq = int(os.environ.get("VNEXT_MSDA_V9_TQ", "256"))
     gsz = int(os.environ.get("VNEXT_MSDA_V9_GSZ", "4"))
@@ -212,14 +208,51 @@ def _forward_v9(value, spatial_shapes, sampling_locations, attention_weights):
     tpp = int(os.environ.get("VNEXT_MSDA_V9_TPP", "2"))
     if P % gsz != 0:
         gsz = 1
-    meta = [_LevelMeta(h, w, hb, allow_pack=pack) for h, w in spatial_shapes]
-    grouped = [l for l, m in enumerate(meta) if not m.packed]
-    packed = [l for l, m in enumerate(meta) if m.packed]
+    # per-level pack override: lane-packing a level whose packing factor k
+    # degenerates to 1 (w in (42, 62]) spans hp = h packed rows per selector
+    # matmul — for a 30x54 level that is 960 MXU rows/tile vs the grouped
+    # path's hb*D = 256, so grouped wins on FLOPs ~3.7x despite wasting
+    # (128-w) lanes. Force-group such levels unless overridden.
+    nopack_l = {
+        int(s)
+        for s in os.environ.get("VNEXT_MSDA_V9_NOPACK_L", "auto").split(",")
+        if s.strip().isdigit()
+    }
+    if os.environ.get("VNEXT_MSDA_V9_NOPACK_L", "auto") == "auto":
+        nopack_l = {
+            l
+            for l, (h, w) in enumerate(spatial_shapes)
+            if min(128 // (w + 1) - 1, h) == 1 and h > 8
+        }
+    meta = [
+        _LevelMeta(h, w, hb, allow_pack=pack and l not in nopack_l)
+        for l, (h, w) in enumerate(spatial_shapes)
+    ]
     # window packed levels whose plane is tall enough that the full-height
     # matmul wastes most rows (hp > hpb): dynamic hpb-row window + schedule
     hpb_cap = int(os.environ.get("VNEXT_MSDA_V9_HPB", "0"))
     for m in meta:
         m.hpb = hpb_cap if (m.packed and hpb_cap and m.hp > hpb_cap) else 0
+    return tq, gsz, tpp, meta
+
+
+def _forward_v9(value, spatial_shapes, sampling_locations, attention_weights):
+    # dev-only prep ablations (combine with ABLATE=empty): zeroing an input
+    # lets XLA constant-fold its entire prep chain (transposes, packing,
+    # schedules) while the pallas-call input streaming stays — isolates each
+    # prep stage's contribution to the no-compute floor
+    zprep = os.environ.get("VNEXT_MSDA_V9_ZPREP", "")
+    if "loc" in zprep:
+        sampling_locations = jnp.zeros_like(sampling_locations)
+        attention_weights = jnp.zeros_like(attention_weights)
+    if "val" in zprep:
+        value = jnp.zeros_like(value)
+    B, S, M, D = value.shape
+    _, Q, _, L, P, _ = sampling_locations.shape
+    spatial_shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
+    assert len(spatial_shapes) == L
+
+    tq, gsz, tpp, meta = _v9_config(spatial_shapes, P)
 
     bm = B * M
     q_pad = ((Q + tq * tpp - 1) // (tq * tpp)) * (tq * tpp)
@@ -271,7 +304,7 @@ def _forward_v9(value, spatial_shapes, sampling_locations, attention_weights):
         )
 
     ng = P // gsz
-    v_grouped, v_packed, scheds, p_scheds = {}, {}, [], []
+    v_grouped, v_packed = {}, {}
     start = 0
     for l, ((h, w), m) in enumerate(zip(spatial_shapes, meta)):
         v_l = jax.lax.dynamic_slice_in_dim(value, start, h * w, axis=1)
@@ -279,6 +312,44 @@ def _forward_v9(value, spatial_shapes, sampling_locations, attention_weights):
         if m.packed:
             v_l = jnp.transpose(v_l, (0, 2, 1, 3)).reshape(bm, h * w, D)
             v_packed[l] = _pack_level(v_l, m, bm, D)
+        else:
+            # [B, h*w, M, D] -> [B, M, h, D, w] -> [BM, h*D, w]
+            vt = jnp.transpose(v_l.reshape(B, h, w, M, D), (0, 3, 1, 4, 2))
+            vt = vt.reshape(bm, h * D, w)
+            v_grouped[l] = jnp.pad(vt, ((0, 0), (0, (m.hpad - h) * D), (0, m.wpad - w)))
+
+    out = _v9_dispatch(
+        meta, loc_pix, w_T, v_grouped, v_packed,
+        B=B, M=M, D=D, P=P, q_pad=q_pad, tq=tq, gsz=gsz, tpp=tpp,
+        out_dtype=value.dtype,
+    )
+
+    out = jnp.swapaxes(out, 1, 2)[:, :Q]                        # [BM, Q, D]
+    out = out.reshape(B, M, Q, D)
+    return jnp.moveaxis(out, 1, 2).reshape(B, Q, M * D).astype(value.dtype)
+
+
+def _v9_dispatch(
+    meta, loc_pix, w_T, v_grouped, v_packed, *, B, M, D, P, q_pad, tq, gsz,
+    tpp, out_dtype,
+):
+    """Shared kernel-call tail: schedules + grid spec + pallas_call.
+
+    loc_pix: [BM, 2L, t, P, tq] pixel-unit locations; w_T: [BM, L, t*P*tq];
+    v_grouped[l]: [BM, hpad*D, wpad]; v_packed[l]: [BM, hp*D, 128].
+    Returns [BM, D, q_pad] in out_dtype.
+    """
+    L = len(meta)
+    grouped = [l for l, m in enumerate(meta) if not m.packed]
+    packed = [l for l, m in enumerate(meta) if m.packed]
+    bm = B * M
+    t = q_pad // tq
+    ptq = P * tq
+    ng = P // gsz
+
+    scheds, p_scheds = [], []
+    for l, m in enumerate(meta):
+        if m.packed:
             if m.hpb:
                 # window may start at hp-1: pad hpb-1 zero packed rows
                 v_packed[l] = jnp.pad(
@@ -292,12 +363,8 @@ def _forward_v9(value, spatial_shapes, sampling_locations, attention_weights):
             else:
                 p_scheds.append(None)
         else:
-            # [B, h*w, M, D] -> [B, M, h, D, w] -> [BM, h*D, w]
-            vt = jnp.transpose(v_l.reshape(B, h, w, M, D), (0, 3, 1, 4, 2))
-            vt = vt.reshape(bm, h * D, w)
-            v_grouped[l] = jnp.pad(vt, ((0, 0), (0, (m.hpad - h) * D), (0, m.wpad - w)))
             y_pix = loc_pix[:, 2 * l + 1]
-            scheds.append(_group_schedule(y_pix, h, m.hb, m.ch, gsz))
+            scheds.append(_group_schedule(y_pix, m.h, m.hb, m.ch, gsz))
     if any(s is not None for s in p_scheds):
         # packed schedules sit at stack positions len(grouped)+pi (kernel
         # contract); non-windowed packed levels get zero placeholders
@@ -346,18 +413,22 @@ def _forward_v9(value, spatial_shapes, sampling_locations, attention_weights):
     )
 
     # typical-case executed flops (locality => ~1 chunk/group/level)
-    ng = P // gsz
     flops = sum(
         2 * bm * t * ng * meta[l].hb * D * meta[l].wpad * gsz * tq for l in grouped
     ) + sum(2 * bm * t * meta[l].hp * D * 128 * ptq for l in packed)
-    bytes_acc = sum(v.size for v in v_grouped.values()) * value.dtype.itemsize + sum(
-        v.size for v in v_packed.values()
-    ) * value.dtype.itemsize
+    itemsize = jnp.dtype(out_dtype).itemsize
+    bytes_acc = (
+        sum(v.size for v in v_grouped.values())
+        + sum(v.size for v in v_packed.values())
+    ) * itemsize
 
-    out = pl.pallas_call(
+    # write-back in value dtype: the f32 accumulator is cast once either way
+    # (here, or after the epilogue transposes) — same final values, half the
+    # HBM traffic for the out store + epilogue relayout when value is bf16
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((bm, D, q_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bm, D, q_pad), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_acc, transcendentals=0
         ),
@@ -370,9 +441,80 @@ def _forward_v9(value, spatial_shapes, sampling_locations, attention_weights):
         *[v_grouped[l] for l in grouped],
     )
 
-    out = jnp.swapaxes(out, 1, 2)[:, :Q]                        # [BM, Q, D]
-    out = out.reshape(B, M, Q, D)
-    return jnp.moveaxis(out, 1, 2).reshape(B, Q, M * D).astype(value.dtype)
+
+def ms_deform_attn_pallas_v9_cm(valueT, spatial_shapes, loc_cm, attn_cm):
+    """Channel-major v9 forward (inference only, no custom VJP).
+
+    The channel-major encoder (deformable_transformer.py EncoderLayerCM)
+    keeps tokens feature-major so the sampling-offset / attention-weight
+    projections emit their outputs already head-major — this entry point
+    skips the standard path's [B, Q, M*L*P*2] -> head-major relayout (the
+    dominant term of the per-layer no-compute floor) and needs only a
+    cheap tq-contiguous-line permutation.
+
+    valueT:  [B, M*D, S]   channel-major projected value (padding zeroed)
+    loc_cm:  [B, M, L, P, 2, S]  normalized sampling locations
+    attn_cm: [B, M, L, P, S]     softmaxed attention weights
+    Returns [B, M*D, S] channel-major output (same values as the standard
+    entry up to the f32->value-dtype rounding, which both apply).
+    """
+    B, MD, S = valueT.shape
+    _, M, L, P, _, Q = loc_cm.shape
+    D = MD // M
+    spatial_shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
+    assert len(spatial_shapes) == L
+
+    tq, gsz, tpp, meta = _v9_config(spatial_shapes, P)
+    bm = B * M
+    q_pad = ((Q + tq * tpp - 1) // (tq * tpp)) * (tq * tpp)
+    t = q_pad // tq
+
+    loc_p, w_p = loc_cm, attn_cm
+    if q_pad != Q:
+        loc_p = jnp.pad(
+            loc_p, ((0, 0),) * 5 + ((0, q_pad - Q),), constant_values=0.5
+        )
+        w_p = jnp.pad(w_p, ((0, 0),) * 4 + ((0, q_pad - Q),))
+    # already head-major: only the (P, t) swap remains, which moves whole
+    # tq-length contiguous lines (vs the standard path's minor-axis-2 relayout)
+    loc_T = jnp.transpose(
+        loc_p.reshape(B, M, L, P, 2, t, tq), (0, 1, 2, 4, 5, 3, 6)
+    )                                                          # [B,M,L,2,t,P,tq]
+    wh = np.zeros((1, 1, L, 2, 1, 1, 1), np.float32)
+    for l, (h, w) in enumerate(spatial_shapes):
+        wh[0, 0, l, 0] = w
+        wh[0, 0, l, 1] = h
+    loc_pix = (loc_T.astype(jnp.float32) * jnp.asarray(wh) - 0.5).reshape(
+        bm, 2 * L, t, P, tq
+    )
+    w_T = jnp.transpose(
+        w_p.reshape(B, M, L, P, t, tq), (0, 1, 2, 4, 3, 5)
+    ).reshape(bm, L, t * P * tq)
+
+    v_grouped, v_packed = {}, {}
+    start = 0
+    for l, ((h, w), m) in enumerate(zip(spatial_shapes, meta)):
+        v_l = jax.lax.dynamic_slice_in_dim(valueT, start, h * w, axis=2)
+        start += h * w
+        v_l = v_l.reshape(B, M, D, h, w)
+        if m.packed:
+            # [B,M,D,h,w] -> [BM, h*w, D] (small levels only; cheap)
+            vt = jnp.transpose(v_l.reshape(B, M, D, h * w), (0, 1, 3, 2))
+            v_packed[l] = _pack_level(vt.reshape(bm, h * w, D), m, bm, D)
+        else:
+            # [B,M,D,h,w] -> [B,M,h,D,w] -> [BM, h*D, w]
+            vt = jnp.transpose(v_l, (0, 1, 3, 2, 4)).reshape(bm, h * D, w)
+            v_grouped[l] = jnp.pad(
+                vt, ((0, 0), (0, (m.hpad - h) * D), (0, m.wpad - w))
+            )
+
+    out = _v9_dispatch(
+        meta, loc_pix, w_T, v_grouped, v_packed,
+        B=B, M=M, D=D, P=P, q_pad=q_pad, tq=tq, gsz=gsz, tpp=tpp,
+        out_dtype=valueT.dtype,
+    )
+    # [BM, D, q_pad] -> [B, M*D, Q]: reshape only, no epilogue transpose
+    return out.reshape(B, M * D, q_pad)[:, :, :Q]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
