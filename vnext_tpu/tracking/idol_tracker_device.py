@@ -119,17 +119,20 @@ def tracker_step(
     det_valid: Array,   # [Nd] bool — padding mask for fixed Nd
     frame_id: Array,    # [] int32
     *,
-    nms_thr_pre: float = 0.5,
-    nms_thr_post: float = 0.05,
+    # defaults mirror IDOLTracker's (== the reference tracker.py:52-70);
+    # the IDOL inference path passes the trained-config values explicitly
+    # (engine/vis_inference.py tracker_step call)
+    nms_thr_pre: float = 0.7,
+    nms_thr_post: float = 0.3,
     init_score_thr: float = 0.2,
-    addnew_score_thr: float = 0.2,
+    addnew_score_thr: float = 0.5,
     match_score_thr: float = 0.5,
     memo_tracklet_frames: int = 10,
-    memo_momentum: float = 0.8,
+    memo_momentum: float = 0.5,
     match_metric: str = "bisoftmax",
-    long_match: bool = True,
-    frame_weight: bool = True,
-    temporal_weight: bool = True,
+    long_match: bool = False,
+    frame_weight: bool = False,
+    temporal_weight: bool = False,
 ) -> Tuple[TrackerState, Array, Array]:
     """One tracker frame. Returns (new_state, ids [Nd] int32, keep [Nd] bool).
 
