@@ -312,6 +312,7 @@ def bench_swinl():
     cfg.merge_from_file("configs/idol/ytvis19_swinL.yaml")
     cfg.MODEL.WEIGHTS = ""
     model = build_idol_model(cfg)
+    assert model.backbone_type == "swin", "config must select the Swin backbone"
     rng = np.random.RandomState(0)
     frames = jnp.asarray(rng.randn(CLIP_LEN, H, W, 3), jnp.float32)
     sizes = jnp.asarray([[H, W - 11]] * CLIP_LEN, jnp.int32)

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.registry import Registry
-from .backbones.resnet import ResNet
+from .backbones import SWIN_PRESETS, backbone_kwargs_from_cfg, make_backbone
 from .condinst import MaskHeadSmallConv, num_dynamic_params, run_dynamic_mask_head
 from .criterion import (
     Targets,
@@ -66,8 +66,10 @@ class IDOL(nn.Module):
     num_feature_levels: int = 4
     enc_n_points: int = 4
     dec_n_points: int = 4
+    backbone_type: str = "resnet"  # "resnet" | "swin" (cfg.MODEL.BACKBONE.NAME)
     backbone_depth: int = 50
     stride_in_1x1: bool = False  # IDOL configs use the torchvision layout
+    swin: Any = SWIN_PRESETS["L"]  # (embed_dim, depths, heads, window, drop_path)
     dropout: float = 0.1
     rel_coord: bool = True
     mask_out_stride: int = 4
@@ -77,10 +79,12 @@ class IDOL(nn.Module):
     msda_impl: str = "auto"
 
     def setup(self):
-        self.backbone = ResNet(
+        self.backbone = make_backbone(
+            self.backbone_type,
             depth=self.backbone_depth,
             out_features=("res3", "res4", "res5"),
             stride_in_1x1=self.stride_in_1x1,
+            swin=self.swin,
             dtype=self.dtype,
             name="backbone",
         )
@@ -136,9 +140,12 @@ class IDOL(nn.Module):
         )
 
     # ------------------------------------------------------------------ features
-    def extract_features(self, images: Array, image_sizes: Array):
+    def extract_features(self, images: Array, image_sizes: Array, train: bool = False):
         """images: [B, H, W, 3] normalized; image_sizes: [B, 2] true (h, w)."""
-        feats = self.backbone(images)
+        if self.backbone_type == "swin":
+            feats = self.backbone(images, train)  # train enables drop-path
+        else:
+            feats = self.backbone(images)
         return self.project_features(
             [feats["res3"], feats["res4"], feats["res5"]], image_sizes
         )
@@ -175,7 +182,7 @@ class IDOL(nn.Module):
     ):
         """Backbone + transformer + per-layer class/box predictions for one frame batch."""
         if base_feats is None:
-            srcs, valid_hw, poses = self.extract_features(images, image_sizes)
+            srcs, valid_hw, poses = self.extract_features(images, image_sizes, train)
         else:
             srcs, valid_hw, poses = self.project_features(base_feats, image_sizes)
         spatial_shapes = tuple((int(s.shape[1]), int(s.shape[2])) for s in srcs)
@@ -336,11 +343,11 @@ def build_idol_model(cfg, dtype=None) -> IDOL:
         num_feature_levels=c.NUM_FEATURE_LEVELS,
         enc_n_points=c.ENC_N_POINTS,
         dec_n_points=c.DEC_N_POINTS,
-        backbone_depth=cfg.MODEL.RESNETS.DEPTH,
         stride_in_1x1=cfg.MODEL.RESNETS.STRIDE_IN_1X1,
         dropout=c.DROPOUT,
         mask_out_stride=c.MASK_STRIDE,
         max_insts=cfg.TPU.MAX_INSTANCES,
         dtype=dtype,
         msda_impl=cfg.TPU.MSDA_IMPL,
+        **backbone_kwargs_from_cfg(cfg),
     )

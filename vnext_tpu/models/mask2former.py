@@ -29,7 +29,7 @@ import numpy as np
 from ..ops.hungarian import hungarian
 from ..ops.interpolate import resize_bilinear
 from ..ops.losses import dice_loss, sigmoid_bce_with_logits
-from .backbones.resnet import ResNet
+from .backbones import SWIN_PRESETS, backbone_kwargs_from_cfg, make_backbone
 from .deformable_transformer import EncoderLayer, encoder_reference_points
 from .layers import MLP, MultiHeadAttention
 from .position_encoding import sine_position_embedding
@@ -259,7 +259,9 @@ class MaskFormer(nn.Module):
     dec_layers: int = 9
     enc_layers: int = 6
     dim_feedforward: int = 2048
+    backbone_type: str = "resnet"  # "resnet" | "swin" (cfg.MODEL.BACKBONE.NAME)
     backbone_depth: int = 50
+    swin: Any = SWIN_PRESETS["L"]  # (embed_dim, depths, heads, window, drop_path)
     no_object_weight: float = 0.1
     deep_supervision: bool = True
     # >0 enables the reference's point-sampled mask losses (12544 points with
@@ -269,9 +271,10 @@ class MaskFormer(nn.Module):
     msda_impl: str = "auto"
 
     def setup(self):
-        self.backbone = ResNet(depth=self.backbone_depth,
-                               out_features=("res2", "res3", "res4", "res5"),
-                               dtype=self.dtype, name="backbone")
+        self.backbone = make_backbone(
+            self.backbone_type, depth=self.backbone_depth,
+            out_features=("res2", "res3", "res4", "res5"), swin=self.swin,
+            dtype=self.dtype, name="backbone")
         self.pixel_decoder = MSDeformAttnPixelDecoder(
             hidden_dim=self.hidden_dim, mask_dim=self.hidden_dim,
             num_encoder_layers=self.enc_layers, dtype=self.dtype,
@@ -285,7 +288,10 @@ class MaskFormer(nn.Module):
 
     def forward_frames(self, images: Array, image_sizes: Array, train: bool = False):
         """images: [T, H, W, 3] -> per-layer logits/masks + query embeddings."""
-        feats = self.backbone(images)
+        if self.backbone_type == "swin":
+            feats = self.backbone(images, train)  # train enables drop-path
+        else:
+            feats = self.backbone(images)
         mask_features, multi_scale = self.pixel_decoder(feats, image_sizes, train)
         logits_l, masks_l, embeds = self.decoder(multi_scale, mask_features, image_sizes, train)
         return logits_l, masks_l, embeds
@@ -412,8 +418,8 @@ def build_maskformer_model(cfg, dtype=None) -> MaskFormer:
         dec_layers=m.DEC_LAYERS,
         enc_layers=m.ENC_LAYERS,
         dim_feedforward=m.DIM_FEEDFORWARD,
-        backbone_depth=cfg.MODEL.RESNETS.DEPTH,
         no_object_weight=m.NO_OBJECT_WEIGHT,
+        **backbone_kwargs_from_cfg(cfg),
         deep_supervision=m.DEEP_SUPERVISION,
         num_points=m.TRAIN_NUM_POINTS,
         dtype=dtype,

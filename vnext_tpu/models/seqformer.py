@@ -28,7 +28,7 @@ from ..ops.hungarian import auction_lap
 from ..ops.losses import dice_loss, sigmoid_focal_loss, sigmoid_focal_loss_elementwise
 from ..ops.ms_deform_attn import ms_deform_attn
 from ..structures.boxes import box_cxcywh_to_xyxy, elementwise_giou_loss, generalized_box_iou
-from .backbones.resnet import ResNet
+from .backbones import SWIN_PRESETS, backbone_kwargs_from_cfg, make_backbone
 from .condinst import MaskHeadSmallConv, num_dynamic_params, run_dynamic_mask_head
 from .deformable_transformer import EncoderLayer, _offset_bias_init, encoder_reference_points
 from .idol import FEATURE_STRIDES, _class_bias_init
@@ -367,7 +367,9 @@ class SeqFormer(nn.Module):
     num_feature_levels: int = 4
     enc_n_points: int = 4
     dec_n_points: int = 4
+    backbone_type: str = "resnet"  # "resnet" | "swin" (cfg.MODEL.BACKBONE.NAME)
     backbone_depth: int = 50
+    swin: Any = SWIN_PRESETS["L"]  # (embed_dim, depths, heads, window, drop_path)
     dropout: float = 0.1
     rel_coord: bool = True
     mask_out_stride: int = 4
@@ -377,8 +379,9 @@ class SeqFormer(nn.Module):
     msda_impl: str = "auto"
 
     def setup(self):
-        self.backbone = ResNet(
-            depth=self.backbone_depth, out_features=("res3", "res4", "res5"),
+        self.backbone = make_backbone(
+            self.backbone_type, depth=self.backbone_depth,
+            out_features=("res3", "res4", "res5"), swin=self.swin,
             dtype=self.dtype, name="backbone",
         )
         self.input_proj = [
@@ -409,11 +412,14 @@ class SeqFormer(nn.Module):
         )
 
     # ------------------------------------------------------------------ features
-    def extract_features(self, images: Array, image_sizes: Array):
+    def extract_features(self, images: Array, image_sizes: Array, train: bool = False):
         """images: [B, nf, H, W, 3]; image_sizes: [B, 2] (shared across the clip)."""
         b, nf = images.shape[:2]
         flat = images.reshape(b * nf, *images.shape[2:])
-        feats = self.backbone(flat)
+        if self.backbone_type == "swin":
+            feats = self.backbone(flat, train)  # train enables drop-path
+        else:
+            feats = self.backbone(flat)
         base = [feats["res3"], feats["res4"], feats["res5"]]
         srcs, valid_hw, poses = [], [], []
         for lvl in range(self.num_feature_levels):
@@ -433,7 +439,7 @@ class SeqFormer(nn.Module):
         return srcs, valid_hw, poses
 
     def forward_single(self, images: Array, image_sizes: Array, train: bool):
-        srcs, valid_hw, poses = self.extract_features(images, image_sizes)
+        srcs, valid_hw, poses = self.extract_features(images, image_sizes, train)
         spatial_shapes = tuple((int(s.shape[2]), int(s.shape[3])) for s in srcs)
         hs, hs_box, memory, init_ref, inter_refs, out_coords = self.transformer(
             srcs, valid_hw, poses, self.query_embed, train=train
@@ -596,10 +602,10 @@ def build_seqformer_model(cfg, dtype=None) -> SeqFormer:
         num_feature_levels=c.NUM_FEATURE_LEVELS,
         enc_n_points=c.ENC_N_POINTS,
         dec_n_points=c.DEC_N_POINTS,
-        backbone_depth=cfg.MODEL.RESNETS.DEPTH,
         dropout=c.DROPOUT,
         mask_out_stride=c.MASK_STRIDE,
         max_insts=cfg.TPU.MAX_INSTANCES,
+        **backbone_kwargs_from_cfg(cfg),
         dtype=dtype,
         msda_impl=cfg.TPU.MSDA_IMPL,
     )
