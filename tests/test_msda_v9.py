@@ -63,6 +63,39 @@ def test_v9_group_sizes(gsz, monkeypatch):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+# winpack policy targets: (30, 54) has degenerate packing factor k=1
+# (w in (42, 62]); (40, 40) packs at k=2 but hp=20 exceeds the VMEM-residency
+# cap — both fall to the grouped path unless the default "winpack" policy
+# packs them with a windowed (hpb-row) selector matmul
+SHAPES_WINPACK = ((30, 54), (40, 40), (15, 27), (8, 14))
+
+
+@pytest.mark.parametrize("loc_mode", ["uniform", "oob", "local"])
+def test_v9_winpack_matches_oracle(loc_mode):
+    from vnext_tpu.ops.ms_deform_attn_pallas_v9 import _v9_config
+
+    meta = _v9_config(SHAPES_WINPACK, P)[3]
+    assert [m.packed for m in meta] == [True, True, True, True]
+    assert (meta[0].k, meta[0].hp, meta[0].hpb) == (1, 30, 4)
+    assert (meta[1].k, meta[1].hp, meta[1].hpb) == (2, 20, 4)
+    val, loc, w = _inputs(5, SHAPES_WINPACK, 64, loc_mode)
+    ref = ms_deform_attn_core_jnp(val, SHAPES_WINPACK, loc, w)
+    out = ms_deform_attn_pallas_v9(val, SHAPES_WINPACK, loc, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("env", [("VNEXT_MSDA_V9_K1", "group"),
+                                 ("VNEXT_MSDA_V9_K1HPB", "2")])
+def test_v9_winpack_policy_knobs(env, monkeypatch):
+    """K1=group restores the grouped path; K1HPB changes the window height —
+    both stay exact on the winpack-triggering shapes."""
+    monkeypatch.setenv(*env)
+    val, loc, w = _inputs(6, SHAPES_WINPACK, 48, "local")
+    ref = ms_deform_attn_core_jnp(val, SHAPES_WINPACK, loc, w)
+    out = ms_deform_attn_pallas_v9(val, SHAPES_WINPACK, loc, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
 def test_v9_fringe_and_integer_coords():
     """Exact corner hits, fringe (-1,0) coords, and edge rows/cols."""
     shapes = ((10, 70), (4, 9))

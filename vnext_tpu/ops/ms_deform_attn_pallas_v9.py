@@ -218,7 +218,8 @@ def _v9_config(spatial_shapes, P):
         for s in os.environ.get("VNEXT_MSDA_V9_NOPACK_L", "auto").split(",")
         if s.strip().isdigit()
     }
-    if os.environ.get("VNEXT_MSDA_V9_NOPACK_L", "auto") == "auto":
+    explicit_nopack = os.environ.get("VNEXT_MSDA_V9_NOPACK_L", "auto") != "auto"
+    if not explicit_nopack:
         nopack_l = {
             l
             for l, (h, w) in enumerate(spatial_shapes)
@@ -228,11 +229,30 @@ def _v9_config(spatial_shapes, P):
         _LevelMeta(h, w, hb, allow_pack=pack and l not in nopack_l)
         for l, (h, w) in enumerate(spatial_shapes)
     ]
+    # "winpack" policy: a pack-capable level that fell to the grouped path —
+    # degenerate packing factor k == 1 (w in (42, 62], force-grouped above)
+    # or hp over the VMEM-residency cap — still benefits from the packed
+    # layout: all 4 bilinear corners of a sample land in ONE packed row, so
+    # the folded 4-nonzero selector applies, as long as the selector matmul
+    # is WINDOWED (contracting all hp rows would be far too tall). The
+    # windowed [hpb*D, 128] x [128, P*TQ] chunks execute ~2x fewer flops at
+    # hpb=4 than the grouped path's [hb*D, wpad] x [wpad, gsz*tq], which pays
+    # for (wpad - w) dead lanes AND (hb - 2) dead rows per sample.
+    if pack and os.environ.get("VNEXT_MSDA_V9_K1", "winpack") == "winpack":
+        k1hpb = int(os.environ.get("VNEXT_MSDA_V9_K1HPB", "4"))
+        for l, (h, w) in enumerate(spatial_shapes):
+            m = meta[l]
+            k = min(128 // (w + 1) - 1, h)
+            if m.packed or k < 1 or h <= 8 or (explicit_nopack and l in nopack_l):
+                continue
+            m.packed, m.k, m.wp, m.hp = True, k, w + 1, -(-h // k)
+            m.hpb = min(k1hpb, m.hp)
     # window packed levels whose plane is tall enough that the full-height
     # matmul wastes most rows (hp > hpb): dynamic hpb-row window + schedule
     hpb_cap = int(os.environ.get("VNEXT_MSDA_V9_HPB", "0"))
     for m in meta:
-        m.hpb = hpb_cap if (m.packed and hpb_cap and m.hp > hpb_cap) else 0
+        if not hasattr(m, "hpb"):
+            m.hpb = hpb_cap if (m.packed and hpb_cap and m.hp > hpb_cap) else 0
     return tq, gsz, tpp, meta
 
 
