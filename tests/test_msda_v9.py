@@ -132,7 +132,7 @@ def test_v9_grads_match_oracle():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-4)
 
 
-@pytest.mark.parametrize("shapes", [SHAPES_SMALL, SHAPES_MIXED])
+@pytest.mark.parametrize("shapes", [SHAPES_SMALL, SHAPES_MIXED, SHAPES_WINPACK])
 def test_v9_cm_matches_standard(shapes):
     """Channel-major entry == standard entry (same kernel, no relayouts)."""
     from vnext_tpu.ops.ms_deform_attn_pallas_v9 import ms_deform_attn_pallas_v9_cm
