@@ -44,13 +44,13 @@ Array = jnp.ndarray
 
 def _packed_schedule(x_pix: Array, y_pix: Array, m, hpb: int, ng: int):
     """(rmin, nch) window schedule in PACKED-row space for one lane-packed
-    level, over all P*TQ samples of each query tile. Inactive samples
-    (x or y fully out of range) have all-zero selector columns in the
-    kernel, so they must not constrain the window. [BM, T, P, TQ] -> the
-    same [BM*T, NG, 2] layout as _group_schedule (broadcast over groups)."""
+    level, per point group (group g = points [g*gsz, (g+1)*gsz), mirroring
+    _group_schedule's layout) of each query tile. Inactive samples (x or y
+    fully out of range) have all-zero selector columns in the kernel, so
+    they must not constrain the window. [BM, T, P, TQ] -> [BM*T, NG, 2]."""
     bm, t, p, tq = y_pix.shape
-    xf = x_pix.reshape(bm, t, p * tq)
-    yf = y_pix.reshape(bm, t, p * tq)
+    xf = x_pix.reshape(bm, t, ng, (p // ng) * tq)
+    yf = y_pix.reshape(bm, t, ng, (p // ng) * tq)
     yc = jnp.clip(yf, -2.0 * m.h - 4, 2.0 * m.h + 4)
     r0 = jnp.clip(jnp.floor(jnp.floor(yc) / m.k), 0, m.hp - 1).astype(jnp.int32)
     active = (
@@ -60,10 +60,8 @@ def _packed_schedule(x_pix: Array, y_pix: Array, m, hpb: int, ng: int):
     rmax = jnp.max(jnp.where(active, r0, -1), axis=-1)
     span = jnp.maximum(rmax - rmin + 1, 0)
     nch = jnp.where(active.any(axis=-1), -(-span // hpb), 0).astype(jnp.int32)
-    sched = jnp.stack([jnp.clip(rmin, 0, m.hp - 1), nch], axis=-1)  # [BM, T, 2]
-    return jnp.broadcast_to(sched[:, :, None, :], (bm, t, ng, 2)).reshape(
-        bm * t, ng, 2
-    )
+    sched = jnp.stack([jnp.clip(rmin, 0, m.hp - 1), nch], axis=-1)  # [BM, T, NG, 2]
+    return sched.reshape(bm * t, ng, 2)
 
 
 def _v9_kernel(sched_ref, *rest, meta, D, P, TQ, GSZ, TPP, NSCHED, ablate=""):
@@ -165,26 +163,36 @@ def _v9_kernel(sched_ref, *rest, meta, D, P, TQ, GSZ, TPP, NSCHED, ablate=""):
             if hpb and hpb < m.hp:
                 # windowed: dynamic hpb-packed-row slice per chunk instead of
                 # the full hp-row matmul (inactive samples have all-zero
-                # selector columns, so out-of-window rows can't contribute)
-                base = (pid * TPP + tp) * NSCHED + ((len(grouped) + pi) * NG) * 2
-                rst = sched_ref[base]
-                nchp = sched_ref[base + 1]
+                # selector columns, so out-of-window rows can't contribute);
+                # one window per point group, mirroring the grouped path
+                for g in range(NG):
+                    base = (
+                        (pid * TPP + tp) * NSCHED
+                        + ((len(grouped) + pi) * NG + g) * 2
+                    )
+                    rst = sched_ref[base]
+                    nchp = sched_ref[base + 1]
+                    rx4_g = rx4_v[:, g * GN : (g + 1) * GN]
+                    r0_g = r0[:, g * GN : (g + 1) * GN]
 
-                def pchunk(ch, _, l=l, m=m, hpb=hpb, rx4_v=rx4_v, r0=r0, rst=rst):
-                    r0w = jnp.clip(rst + ch * hpb, 0, m.hp - 1)
-                    vpw = vpack_refs[l][0, pl.ds(r0w * D, hpb * D), :]
-                    u = jnp.dot(vpw, rx4_v, preferred_element_type=jnp.float32)
-                    s = None
-                    for rp in range(hpb):
-                        mask = (r0 == (r0w + rp).astype(jnp.float32)).astype(jnp.float32)
-                        term = mask * u[rp * D : (rp + 1) * D, :]
-                        s = term if s is None else s + term                   # [D, PTQ]
-                    for p in range(P):
-                        acc_ref[:] += s[:, p * TQ : (p + 1) * TQ]
-                    return 0
+                    def pchunk(ch, _, l=l, m=m, hpb=hpb, g=g, rx4_g=rx4_g,
+                               r0_g=r0_g, rst=rst):
+                        r0w = jnp.clip(rst + ch * hpb, 0, m.hp - 1)
+                        vpw = vpack_refs[l][0, pl.ds(r0w * D, hpb * D), :]
+                        u = jnp.dot(vpw, rx4_g, preferred_element_type=jnp.float32)
+                        s = None
+                        for rp in range(hpb):
+                            mask = (r0_g == (r0w + rp).astype(jnp.float32)).astype(
+                                jnp.float32
+                            )
+                            term = mask * u[rp * D : (rp + 1) * D, :]
+                            s = term if s is None else s + term               # [D, GN]
+                        for j in range(GSZ):
+                            acc_ref[:] += s[:, j * TQ : (j + 1) * TQ]
+                        return 0
 
-                pchunk(0, 0)
-                jax.lax.fori_loop(1, nchp, pchunk, 0)
+                    pchunk(0, 0)
+                    jax.lax.fori_loop(1, nchp, pchunk, 0)
             else:
                 vp = vpack_refs[l][0]                                         # [hp*D, 128]
                 u = jnp.dot(vp, rx4_v, preferred_element_type=jnp.float32)
