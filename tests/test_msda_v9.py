@@ -65,13 +65,14 @@ def test_v9_group_sizes(gsz, monkeypatch):
 
 # winpack policy targets: (30, 54) has degenerate packing factor k=1
 # (w in (42, 62]); (40, 40) packs at k=2 but hp=20 exceeds the VMEM-residency
-# cap — both fall to the grouped path unless the default "winpack" policy
+# cap — both fall to the grouped path unless VNEXT_MSDA_V9_K1=winpack
 # packs them with a windowed (hpb-row) selector matmul
 SHAPES_WINPACK = ((30, 54), (40, 40), (15, 27), (8, 14))
 
 
 @pytest.mark.parametrize("loc_mode", ["uniform", "oob", "local"])
-def test_v9_winpack_matches_oracle(loc_mode):
+def test_v9_winpack_matches_oracle(loc_mode, monkeypatch):
+    monkeypatch.setenv("VNEXT_MSDA_V9_K1", "winpack")
     from vnext_tpu.ops.ms_deform_attn_pallas_v9 import _v9_config
 
     meta = _v9_config(SHAPES_WINPACK, P)[3]
@@ -84,11 +85,13 @@ def test_v9_winpack_matches_oracle(loc_mode):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
-@pytest.mark.parametrize("env", [("VNEXT_MSDA_V9_K1", "group"),
+@pytest.mark.parametrize("env", [("VNEXT_MSDA_V9_K1", "winpack"),
                                  ("VNEXT_MSDA_V9_K1HPB", "2")])
 def test_v9_winpack_policy_knobs(env, monkeypatch):
-    """K1=group restores the grouped path; K1HPB changes the window height —
-    both stay exact on the winpack-triggering shapes."""
+    """K1=winpack enables the windowed packed path; K1HPB changes the window
+    height — both stay exact on the winpack-triggering shapes."""
+    if env[0] == "VNEXT_MSDA_V9_K1HPB":
+        monkeypatch.setenv("VNEXT_MSDA_V9_K1", "winpack")
     monkeypatch.setenv(*env)
     val, loc, w = _inputs(6, SHAPES_WINPACK, 48, "local")
     ref = ms_deform_attn_core_jnp(val, SHAPES_WINPACK, loc, w)

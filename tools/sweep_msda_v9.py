@@ -19,20 +19,32 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 sys.path.insert(0, "tools")
 from profile_pallas import SHAPES, M, D, P, L, T
-from vnext_tpu.ops.ms_deform_attn_pallas_v9 import ms_deform_attn_pallas_v9
+from vnext_tpu.ops.ms_deform_attn_pallas_v9 import (
+    ms_deform_attn_pallas_v9, ms_deform_attn_pallas_v9_cm)
 T = int(os.environ.get("VNEXT_SWEEP_T", str(T)))
+cm = os.environ.get("VNEXT_SWEEP_ENTRY", "std") == "cm"
 rng = np.random.RandomState(0)
 S = sum(h * w for h, w in SHAPES)
-val = jnp.asarray(rng.randn(T, S, M, D), jnp.bfloat16)
 z = np.load("/tmp/msda_real_locs.npz")
 dec = os.environ.get("VNEXT_SWEEP_DEC", "0") == "1"
 key = "dec" if dec else "enc"
-loc = jnp.asarray(np.tile(z[key + "_loc"][:1], (T, 1, 1, 1, 1, 1)), jnp.float32)
-attn = jnp.asarray(np.tile(z[key + "_attn"][:1], (T, 1, 1, 1, 1)), jnp.bfloat16)
+loc = np.tile(z[key + "_loc"][:1], (T, 1, 1, 1, 1, 1))
+attn = np.tile(z[key + "_attn"][:1], (T, 1, 1, 1, 1))
+if cm:
+    # CM layouts: value [B, M*D, S]; loc [B,M,L,P,2,Q]; attn [B,M,L,P,Q]
+    val = jnp.asarray(rng.randn(T, M * D, S), jnp.bfloat16)
+    loc = jnp.asarray(np.transpose(loc, (0, 2, 3, 4, 5, 1)), jnp.float32)
+    attn = jnp.asarray(np.transpose(attn, (0, 2, 3, 4, 1)), jnp.bfloat16)
+    fn = lambda v: ms_deform_attn_pallas_v9_cm(v, SHAPES, loc, attn)
+else:
+    val = jnp.asarray(rng.randn(T, S, M, D), jnp.bfloat16)
+    loc = jnp.asarray(loc, jnp.float32)
+    attn = jnp.asarray(attn, jnp.bfloat16)
+    fn = lambda v: ms_deform_attn_pallas_v9(v, SHAPES, loc, attn)
 @jax.jit
 def run(v):
     def body(carry, _):
-        out = ms_deform_attn_pallas_v9(carry, SHAPES, loc, attn)
+        out = fn(carry)
         fb = (jnp.sum(out) * 1e-12).astype(carry.dtype)
         return carry + fb, jnp.sum(out).astype(jnp.float32)
     final, s = jax.lax.scan(body, v, None, length=8)
@@ -43,6 +55,7 @@ cfg = {k: os.environ.get("VNEXT_MSDA_V9_" + k, "-")
        for k in ("TQ", "GSZ", "HB", "PACK", "TPP", "HPB", "PREP2", "ABLATE",
                  "NOPACK_L", "ZPREP")}
 cfg["DEC"] = os.environ.get("VNEXT_SWEEP_DEC", "0")
+cfg["ENTRY"] = os.environ.get("VNEXT_SWEEP_ENTRY", "std")
 cfg["T"] = T
 print(f"RESULT {cfg} {rt / 8 * 1000:.2f} ms/iter (compile {ct:.0f}s)", flush=True)
 """
@@ -55,6 +68,8 @@ for spec in sys.argv[1:]:
             env["VNEXT_SWEEP_DEC"] = v
         elif k == "T":
             env["VNEXT_SWEEP_T"] = v
+        elif k == "ENTRY":
+            env["VNEXT_SWEEP_ENTRY"] = v
         else:
             env[f"VNEXT_MSDA_V9_{k}"] = v
     r = subprocess.run([sys.executable, "-c", SNIPPET], env=env,

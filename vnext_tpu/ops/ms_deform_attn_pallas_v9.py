@@ -237,16 +237,16 @@ def _v9_config(spatial_shapes, P):
         _LevelMeta(h, w, hb, allow_pack=pack and l not in nopack_l)
         for l, (h, w) in enumerate(spatial_shapes)
     ]
-    # "winpack" policy: a pack-capable level that fell to the grouped path —
-    # degenerate packing factor k == 1 (w in (42, 62], force-grouped above)
-    # or hp over the VMEM-residency cap — still benefits from the packed
-    # layout: all 4 bilinear corners of a sample land in ONE packed row, so
-    # the folded 4-nonzero selector applies, as long as the selector matmul
-    # is WINDOWED (contracting all hp rows would be far too tall). The
-    # windowed [hpb*D, 128] x [128, P*TQ] chunks execute ~2x fewer flops at
-    # hpb=4 than the grouped path's [hb*D, wpad] x [wpad, gsz*tq], which pays
-    # for (wpad - w) dead lanes AND (hb - 2) dead rows per sample.
-    if pack and os.environ.get("VNEXT_MSDA_V9_K1", "winpack") == "winpack":
+    # "winpack" policy (OFF by default — on-device sweep at eval shapes
+    # measured 11.38 ms/layer winpack vs 10.55 grouped: the per-window DMA +
+    # schedule overhead outweighs the executed-flop cut): a pack-capable
+    # level that fell to the grouped path — degenerate packing factor k == 1
+    # (w in (42, 62], force-grouped above) or hp over the VMEM-residency cap —
+    # can still use the packed layout: all 4 bilinear corners of a sample
+    # land in ONE packed row, so the folded 4-nonzero selector applies, as
+    # long as the selector matmul is WINDOWED (contracting all hp rows would
+    # be far too tall). Set VNEXT_MSDA_V9_K1=winpack to enable.
+    if pack and os.environ.get("VNEXT_MSDA_V9_K1", "group") == "winpack":
         k1hpb = int(os.environ.get("VNEXT_MSDA_V9_K1HPB", "4"))
         for l, (h, w) in enumerate(spatial_shapes):
             m = meta[l]
@@ -486,6 +486,12 @@ def ms_deform_attn_pallas_v9_cm(valueT, spatial_shapes, loc_cm, attn_cm):
     Returns [B, M*D, S] channel-major output (same values as the standard
     entry up to the f32->value-dtype rounding, which both apply).
     """
+    zprep = os.environ.get("VNEXT_MSDA_V9_ZPREP", "")   # dev-only ablation
+    if "loc" in zprep:
+        loc_cm = jnp.zeros_like(loc_cm)
+        attn_cm = jnp.zeros_like(attn_cm)
+    if "val" in zprep:
+        valueT = jnp.zeros_like(valueT)
     B, MD, S = valueT.shape
     _, M, L, P, _, Q = loc_cm.shape
     D = MD // M
