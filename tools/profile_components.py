@@ -32,6 +32,14 @@ def chained(model, params, frames, sizes, stage, reps=REPS):
         if stage == "features":
             srcs, _, _ = m.extract_features(x, sizes)
             return srcs[0]
+        if stage == "encoder":
+            srcs, valid_hw, poses = m.extract_features(x, sizes)
+            memory, _, _, _ = m.transformer.encode(srcs, valid_hw, poses)
+            return memory
+        if stage == "transformer":
+            srcs, valid_hw, poses = m.extract_features(x, sizes)
+            hs, *_ = m.transformer(srcs, valid_hw, poses, m.query_embed)
+            return hs[-1]
         if stage == "fwd_single":
             out = m.forward_single(x, sizes, train=False)
             return out["logits"][-1]
@@ -78,9 +86,12 @@ def main():
     print(f"init {time.time() - t0:.1f}s", flush=True)
 
     res = {}
-    for stage in ("backbone", "features", "fwd_single", "full"):
+    for stage in ("backbone", "features", "encoder", "transformer",
+                  "fwd_single", "full"):
         res[stage] = chained(model, params, frames, sizes, stage)
-    res["enc_dec"] = res["fwd_single"] - res["features"]
+    # stage differences cancel the per-sync tunnel latency shared by all rows
+    res["enc_only"] = res["encoder"] - res["features"]
+    res["dec_only"] = res["transformer"] - res["encoder"]
     res["heads"] = res["full"] - res["fwd_single"]
     print(json.dumps({k: round(v, 1) for k, v in res.items()}), flush=True)
 

@@ -41,23 +41,34 @@ else:
     loc = jnp.asarray(loc, jnp.float32)
     attn = jnp.asarray(attn, jnp.bfloat16)
     fn = lambda v: ms_deform_attn_pallas_v9(v, SHAPES, loc, attn)
+N = int(os.environ.get("VNEXT_SWEEP_N", "32"))
 @jax.jit
 def run(v):
     def body(carry, _):
         out = fn(carry)
         fb = (jnp.sum(out) * 1e-12).astype(carry.dtype)
         return carry + fb, jnp.sum(out).astype(jnp.float32)
-    final, s = jax.lax.scan(body, v, None, length=8)
+    final, s = jax.lax.scan(body, v, None, length=N)
     return jnp.sum(s)
+# the axon tunnel charges ~30 ms per host sync (float()) regardless of device
+# work — measure it with a trivial graph and subtract, then amortize over N
+@jax.jit
+def nullg(v):
+    return jnp.sum(v[0, :8]).astype(jnp.float32)
+float(nullg(val)); t0 = time.time()
+for _ in range(4):
+    float(nullg(val))
+sync_s = (time.time() - t0) / 4
 t0 = time.time(); float(run(val)); ct = time.time() - t0
-t0 = time.time(); float(run(val)); rt = time.time() - t0
+t0 = time.time(); float(run(val)); rt = max(time.time() - t0 - sync_s, 0.0)
 cfg = {k: os.environ.get("VNEXT_MSDA_V9_" + k, "-")
        for k in ("TQ", "GSZ", "HB", "PACK", "TPP", "HPB", "PREP2", "ABLATE",
                  "NOPACK_L", "ZPREP")}
 cfg["DEC"] = os.environ.get("VNEXT_SWEEP_DEC", "0")
 cfg["ENTRY"] = os.environ.get("VNEXT_SWEEP_ENTRY", "std")
 cfg["T"] = T
-print(f"RESULT {cfg} {rt / 8 * 1000:.2f} ms/iter (compile {ct:.0f}s)", flush=True)
+print(f"RESULT {cfg} {rt / N * 1000:.2f} ms/iter (sync {sync_s * 1000:.0f}ms, "
+      f"compile {ct:.0f}s)", flush=True)
 """
 
 for spec in sys.argv[1:]:

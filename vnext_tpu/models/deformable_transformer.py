@@ -295,6 +295,22 @@ class DeformableTransformer(nn.Module):
         query_embed: Array,                # [Q, 2C]
         train: bool = False,
     ):
+        memory, spatial_shapes, mask_flat, valid_ratios = self.encode(
+            srcs, valid_hw, pos_embeds, train
+        )
+        return self.decode(
+            memory, spatial_shapes, mask_flat, valid_ratios, query_embed, train
+        )
+
+    def encode(
+        self,
+        srcs: List[Array],
+        valid_hw: List[Array],
+        pos_embeds: List[Array],
+        train: bool = False,
+    ):
+        """Flatten levels + run the encoder stack; split from decode for
+        stage-level profiling and feature reuse."""
         b = srcs[0].shape[0]
         c = self.d_model
         spatial_shapes = tuple((int(s.shape[1]), int(s.shape[2])) for s in srcs)
@@ -342,7 +358,18 @@ class DeformableTransformer(nn.Module):
             for layer in self.encoder_layers:
                 memory = layer(memory, pos_flat, enc_ref, spatial_shapes, mask_flat, train)
 
-        # decoder
+        return memory, spatial_shapes, mask_flat, valid_ratios
+
+    def decode(
+        self,
+        memory: Array,
+        spatial_shapes,
+        mask_flat: Array,
+        valid_ratios: Array,
+        query_embed: Array,
+        train: bool = False,
+    ):
+        b = memory.shape[0]
         query_pos, tgt = jnp.split(query_embed, 2, axis=1)
         query_pos = jnp.broadcast_to(query_pos[None], (b, *query_pos.shape)).astype(self.dtype)
         tgt = jnp.broadcast_to(tgt[None], (b, *tgt.shape)).astype(self.dtype)

@@ -60,7 +60,7 @@ _PACK_MAX_HP = 16  # VMEM-residency cap for packed levels (Hp*D*128*2B <= 128KB)
 class _LevelMeta:
     """Static per-level schedule: packed-resident or point-group chunked."""
 
-    def __init__(self, h, w, hb, allow_pack=True):
+    def __init__(self, h, w, hb, allow_pack=True, wq=128):
         self.h, self.w = h, w
         k = min(128 // (w + 1) - 1, h)
         if allow_pack and k >= 1 and -(-h // k) <= _PACK_MAX_HP:
@@ -73,7 +73,12 @@ class _LevelMeta:
             self.hb = min(hb, max(4, ((h + 7) // 8) * 8))
             self.ch = -(-h // self.hb)
             self.hpad = h + self.hb
-            self.wpad = ((w + 127) // 128) * 128
+            # wq=64 (v9): a 64-lane value block halves the x-tent build and
+            # the executed matmul flops for levels with w <= 63 (the [*, 64]
+            # VMEM tile pads to 128 lanes in memory, but the iota/selector
+            # arrays and the dot's K dim shrink); v8's manual DMA path keeps
+            # the 128 quantum
+            self.wpad = ((w + wq - 1) // wq) * wq
 
 
 def _v8_kernel(

@@ -234,7 +234,8 @@ def _v9_config(spatial_shapes, P):
             if min(128 // (w + 1) - 1, h) == 1 and h > 8
         }
     meta = [
-        _LevelMeta(h, w, hb, allow_pack=pack and l not in nopack_l)
+        _LevelMeta(h, w, hb, allow_pack=pack and l not in nopack_l,
+                   wq=int(os.environ.get("VNEXT_MSDA_V9_WQ", "64")))
         for l, (h, w) in enumerate(spatial_shapes)
     ]
     # "winpack" policy (OFF by default — on-device sweep at eval shapes
