@@ -53,6 +53,44 @@ def _peak_hbm_gb():
         return None
 
 
+def _sync(out):
+    """True host sync: pull ONE scalar derived from the output tree.
+
+    ``jax.block_until_ready`` does NOT truly block on the axon tunnel
+    (docs/ROUND3.md "Axon tunnel timing model"); a ``float()`` scalar pull
+    does, at a fixed ~30 ms RPC cost.  The device stream is in-order, so a
+    scalar from the last dispatch closes every prior dispatch too.
+    """
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.reshape(leaf, (-1,))[0].astype(jnp.float32))
+
+
+def _measure(call, iters):
+    """Time ``iters`` async dispatches of ``call()`` closed by a scalar pull,
+    minus a measured null-sync baseline (the pull on already-ready data).
+
+    Returns (seconds_per_iter, detail_dict).  This is the sync-corrected
+    pattern validated in tools/sweep_msda_v9.py; 4 of 6 round-3 suite numbers
+    were fiction because they closed with block_until_ready instead.
+    """
+    out = call()
+    _sync(out)  # post-compile warmup: everything resident, queue drained
+    t0 = time.time()
+    for _ in range(3):
+        _sync(out)
+    sync_s = (time.time() - t0) / 3
+    t0 = time.time()
+    for _ in range(iters):
+        out = call()
+    _sync(out)
+    dt = max(time.time() - t0 - sync_s, 1e-9) / iters
+    return dt, {
+        "sync": "scalar-pull minus null-baseline",
+        "n_dispatches": iters,
+        "sync_baseline_ms": round(sync_s * 1000, 1),
+    }
+
+
 def bench_idol_infer():
     from vnext_tpu.models import IDOL
     from vnext_tpu.models.idol import build_idol_model
@@ -88,16 +126,14 @@ def bench_idol_infer():
     infer_jit = jax.jit(infer)
     t0 = time.time()
     out = infer_jit(params, frames, sizes)
-    jax.block_until_ready(out)
+    _sync(out)
     compile_s = time.time() - t0
 
-    n_iters = 8
-    t0 = time.time()
-    for _ in range(n_iters):
-        out = infer_jit(params, frames, sizes)
-    jax.block_until_ready(out)
-    elapsed = time.time() - t0
-    fps = CLIP_LEN * n_iters / elapsed
+    # cross-check at two window lengths: steady-state must agree within noise
+    dt8, _ = _measure(lambda: infer_jit(params, frames, sizes), 8)
+    dt, sync_detail = _measure(lambda: infer_jit(params, frames, sizes), 24)
+    elapsed, n_iters = dt * 24, 24
+    fps = CLIP_LEN / dt
 
     # utilization: XLA compiled-graph FLOPs (pallas kernels contribute their
     # declared CostEstimate = typical-case executed selector-matmul flops)
@@ -127,6 +163,8 @@ def bench_idol_infer():
                 else "v9" if os.environ.get("VNEXT_MSDA_V9", "1") == "1"
                 else "v7"
             ),
+            "per_clip_ms_n8_crosscheck": round(dt8 * 1000, 1),
+            **sync_detail,
         },
     }
 
@@ -177,12 +215,13 @@ def bench_idol_train():
     state, m = step(state, batch, jax.random.PRNGKey(0))
     float(m["total_loss"])
     compile_s = time.time() - t0
-    iters = 8
-    t0 = time.time()
-    for _ in range(iters):
+
+    def call():
+        nonlocal state
         state, m = step(state, batch, jax.random.PRNGKey(0))
-    float(m["total_loss"])
-    dt = (time.time() - t0) / iters
+        return m["total_loss"]
+
+    dt, sync_detail = _measure(call, 8)
     return {
         "metric": "IDOL-R50 train step (single-chip share of 8-chip recipe)",
         "value": round(dt * 1000, 1),
@@ -194,6 +233,7 @@ def bench_idol_train():
             "resolution": [int(h), int(w)],
             "frames_per_sec": round(2 * b / dt, 2),
             "compile_s": round(compile_s, 1),
+            **sync_detail,
         },
     }
 
@@ -217,20 +257,13 @@ def bench_seqformer():
     infer = jax.jit(
         lambda p, f, s: model.apply({"params": p}, f, s, method=SeqFormer.inference)
     )
-    out = infer(params, frames, sizes)
-    jax.block_until_ready(out)
-    iters = 8
-    t0 = time.time()
-    for _ in range(iters):
-        out = infer(params, frames, sizes)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / iters
+    dt, sync_detail = _measure(lambda: infer(params, frames, sizes), 16)
     return {
         "metric": "SeqFormer-R50 whole-clip inference (480x864, clip=10)",
         "value": round(CLIP_LEN / dt, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": None,
-        "detail": {"per_clip_ms": round(dt * 1000, 1)},
+        "detail": {"per_clip_ms": round(dt * 1000, 1), **sync_detail},
     }
 
 
@@ -254,20 +287,13 @@ def bench_minvis():
     infer = jax.jit(
         lambda p, f, s: model.apply({"params": p}, f, s, method=MaskFormer.inference)
     )
-    out = infer(params, frames, sizes)
-    jax.block_until_ready(out)
-    iters = 8
-    t0 = time.time()
-    for _ in range(iters):
-        out = infer(params, frames, sizes)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / iters
+    dt, sync_detail = _measure(lambda: infer(params, frames, sizes), 16)
     return {
         "metric": "MinVIS/Mask2Former-R50 frame inference (480x864, 10 frames/call)",
         "value": round(CLIP_LEN / dt, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": None,
-        "detail": {"per_batch_ms": round(dt * 1000, 1)},
+        "detail": {"per_batch_ms": round(dt * 1000, 1), **sync_detail},
     }
 
 
@@ -284,20 +310,13 @@ def bench_instmove():
         lambda: model.init(jax.random.PRNGKey(0), masks[:1], image[:1])["params"]
     )()
     fwd = jax.jit(lambda p, m, im: model.apply({"params": p}, m, im))
-    out = fwd(params, masks, image)
-    jax.block_until_ready(out)
-    iters = 16
-    t0 = time.time()
-    for _ in range(iters):
-        out = fwd(params, masks, image)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / iters
+    dt, sync_detail = _measure(lambda: fwd(params, masks, image), 32)
     return {
         "metric": "InstMove motion-predictor batched throughput (B=32, 4 past masks, 128x128)",
         "value": round(b / dt, 1),
         "unit": "instance-clips/sec/chip",
         "vs_baseline": None,
-        "detail": {"per_batch_ms": round(dt * 1000, 1)},
+        "detail": {"per_batch_ms": round(dt * 1000, 1), **sync_detail},
     }
 
 
@@ -321,18 +340,13 @@ def bench_swinl():
             {"params": jax.random.PRNGKey(0)}, frames[:1], sizes[:1], method=IDOL.inference
         )["params"]
     )()
-    jax.block_until_ready(params)
+    _sync(params)
     infer = jax.jit(lambda p, f, s: model.apply({"params": p}, f, s, method=IDOL.inference))
     t0 = time.time()
     out = infer(params, frames, sizes)
-    jax.block_until_ready(out)
+    _sync(out)
     compile_s = time.time() - t0
-    iters = 4
-    t0 = time.time()
-    for _ in range(iters):
-        out = infer(params, frames, sizes)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / iters
+    dt, sync_detail = _measure(lambda: infer(params, frames, sizes), 8)
     return {
         "metric": "IDOL-Swin-L clip inference throughput (480x864, clip=10)",
         "value": round(CLIP_LEN / dt, 2),
@@ -342,6 +356,7 @@ def bench_swinl():
             "per_clip_ms": round(dt * 1000, 1),
             "peak_hbm_gb": _peak_hbm_gb(),
             "compile_s": round(compile_s, 1),
+            **sync_detail,
         },
     }
 
