@@ -171,3 +171,61 @@ def test_cm_dispatch_fallback_matches():
     np.testing.assert_allclose(
         np.asarray(jnp.swapaxes(out, 1, 2)), np.asarray(ref), atol=1e-5
     )
+
+
+@pytest.mark.parametrize("shapes", [SHAPES_SMALL, SHAPES_MIXED, SHAPES_WINPACK])
+@pytest.mark.parametrize("off_dtype", [jnp.float32, jnp.bfloat16])
+def test_v9_cm_fused_matches_oracle(shapes, off_dtype):
+    """Fused-loc CM entry (in-kernel ref*wh-0.5+off) == oracle on the same
+    locations. Offsets are fed raw (incl. bf16, the production dtype); the
+    oracle gets loc = ref + off/wh built from the SAME (widened) offsets, so
+    any mismatch is the kernel's reassociation, bounded by f32 rounding."""
+    from vnext_tpu.ops.ms_deform_attn_pallas_v9 import ms_deform_attn_pallas_v9_cm_fused
+
+    rng = np.random.RandomState(11)
+    s = sum(h * w for h, w in shapes)
+    l = len(shapes)
+    q = s
+    val = jnp.asarray(rng.randn(B, s, M, D), jnp.float32)
+    ref_pts = jnp.asarray(rng.rand(B, q, l, 2), jnp.float32)       # [B,Q,L,2]
+    # pixel-unit offsets, the projection-output scale (a few pixels)
+    off = jnp.asarray(rng.randn(B, q, M, l, P, 2) * 3.0, off_dtype)
+    w_ = jnp.asarray(rng.rand(B, q, M, l, P) / (l * P), jnp.float32)
+
+    wh = jnp.asarray([[w, h] for h, w in shapes], jnp.float32)     # [L, 2]
+    loc = ref_pts[:, :, None, :, None] + off.astype(jnp.float32) / wh[None, None, None, :, None]
+    expected = ms_deform_attn_core_jnp(val, shapes, loc, w_)
+
+    valT = jnp.swapaxes(val.reshape(B, s, M * D), 1, 2)            # [B, MD, S]
+    off_cm = jnp.moveaxis(off, 1, 5)                               # [B,M,L,P,2,S]
+    ref_cm = jnp.moveaxis(ref_pts, 1, 3)                           # [B,L,2,S]
+    w_cm = jnp.moveaxis(w_, 1, 4)                                  # [B,M,L,P,S]
+    out = ms_deform_attn_pallas_v9_cm_fused(valT, shapes, off_cm, ref_cm, w_cm)
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(out, 1, 2)), np.asarray(expected), atol=2e-4
+    )
+
+
+def test_cm_fused_dispatch_fallback_matches():
+    """ms_deform_attn_cm_fused CPU fallback == oracle (loc materialized)."""
+    from vnext_tpu.ops.ms_deform_attn import ms_deform_attn_cm_fused
+
+    rng = np.random.RandomState(12)
+    shapes = SHAPES_SMALL
+    s = sum(h * w for h, w in shapes)
+    l = len(shapes)
+    val = jnp.asarray(rng.randn(B, s, M, D), jnp.float32)
+    ref_pts = jnp.asarray(rng.rand(B, s, l, 2), jnp.float32)
+    off = jnp.asarray(rng.randn(B, s, M, l, P, 2) * 2.0, jnp.float32)
+    w_ = jnp.asarray(rng.rand(B, s, M, l, P) / (l * P), jnp.float32)
+    wh = jnp.asarray([[w, h] for h, w in shapes], jnp.float32)
+    loc = ref_pts[:, :, None, :, None] + off / wh[None, None, None, :, None]
+    expected = ms_deform_attn_core_jnp(val, shapes, loc, w_)
+    valT = jnp.swapaxes(val.reshape(B, s, M * D), 1, 2)
+    out = ms_deform_attn_cm_fused(
+        valT, shapes, jnp.moveaxis(off, 1, 5), jnp.moveaxis(ref_pts, 1, 3),
+        jnp.moveaxis(w_, 1, 4),
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(out, 1, 2)), np.asarray(expected), atol=1e-5
+    )

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.ms_deform_attn import ms_deform_attn, ms_deform_attn_cm
+from ..ops.ms_deform_attn import ms_deform_attn, ms_deform_attn_cm, ms_deform_attn_cm_fused
 from .layers import MLP, DualDense, MultiHeadAttention, inverse_sigmoid
 
 Array = jnp.ndarray
@@ -98,17 +98,25 @@ class MSDeformAttnModule(nn.Module):
                 assert valueT.ndim == 3
 
             offsets = offsets_proj(query, channel_major=True)     # [B, MLP2, S]
-            offsets = offsets.reshape(b, m, l, p, 2, s).astype(jnp.float32)
             attn = attn_proj(query, channel_major=True)           # [B, MLP, S]
             attn = attn.reshape(b, m, l * p, s)
             attn = jax.nn.softmax(attn.astype(jnp.float32), axis=2).astype(self.dtype)
             attn = attn.reshape(b, m, l, p, s)
-
             ref = reference_points.astype(jnp.float32)            # [B, L, 2, S]
-            wh = jnp.asarray([[w, h] for h, w in spatial_shapes], dtype=jnp.float32)
-            loc = ref[:, None, :, None] + offsets / wh[None, None, :, None, :, None]
 
-            out = ms_deform_attn_cm(valueT, spatial_shapes, loc, attn, impl=self.impl)
+            import os
+            if os.environ.get("VNEXT_MSDA_FUSED", "1") == "1":
+                # raw offsets stay in the compute dtype; the kernel forms the
+                # pixel locations in VMEM (no [B,M,L,P,2,S] f32 materialization)
+                off_cm = offsets.reshape(b, m, l, p, 2, s)
+                out = ms_deform_attn_cm_fused(
+                    valueT, spatial_shapes, off_cm, ref, attn, impl=self.impl
+                )
+            else:
+                offsets = offsets.reshape(b, m, l, p, 2, s).astype(jnp.float32)
+                wh = jnp.asarray([[w, h] for h, w in spatial_shapes], dtype=jnp.float32)
+                loc = ref[:, None, :, None] + offsets / wh[None, None, :, None, :, None]
+                out = ms_deform_attn_cm(valueT, spatial_shapes, loc, attn, impl=self.impl)
             return output_proj(out, channel_major=True)
 
         b, q, _ = query.shape

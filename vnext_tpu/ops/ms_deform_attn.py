@@ -235,6 +235,46 @@ def ms_deform_attn_cm(
     return jnp.swapaxes(out, 1, 2)
 
 
+def ms_deform_attn_cm_fused(
+    valueT: Array,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    off_cm: Array,
+    ref_cm: Array,
+    attn_cm: Array,
+    impl: str = "auto",
+) -> Array:
+    """Channel-major MSDeformAttn taking RAW offsets + reference points.
+
+    Semantics: ``loc = ref + off / [w_l, h_l]`` then ``ms_deform_attn_cm`` —
+    but on TPU with v9 the location tensor is formed inside the kernel
+    (ms_deform_attn_pallas_v9_cm_fused), skipping the [B,M,L,P,2,S] f32
+    materialization entirely. off_cm may stay in the compute dtype (bf16):
+    it is a projection output, already exactly representable there.
+
+    valueT [B, M*D, S]; off_cm [B, M, L, P, 2, S]; ref_cm [B, L, 2, S];
+    attn_cm [B, M, L, P, S] (softmaxed). Returns [B, M*D, S].
+    """
+    import os
+
+    use_v9 = (
+        impl in ("auto", "pallas_v9")
+        and os.environ.get("VNEXT_MSDA_V9", "1") == "1"
+        and (jax.default_backend() == "tpu" or impl == "pallas_v9")
+    )
+    if use_v9:
+        from .ms_deform_attn_pallas_v9 import ms_deform_attn_pallas_v9_cm_fused
+
+        return ms_deform_attn_pallas_v9_cm_fused(
+            valueT, spatial_shapes, off_cm, ref_cm, attn_cm
+        )
+    wh = jnp.asarray([[w, h] for h, w in spatial_shapes], jnp.float32)  # [L, 2]
+    loc = (
+        ref_cm[:, None, :, None].astype(jnp.float32)
+        + off_cm.astype(jnp.float32) / wh[None, None, :, None, :, None]
+    )
+    return ms_deform_attn_cm(valueT, spatial_shapes, loc, attn_cm, impl=impl)
+
+
 def ms_deform_attn(
     value: Array,
     spatial_shapes: Sequence[Tuple[int, int]],

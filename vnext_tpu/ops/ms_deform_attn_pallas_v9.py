@@ -64,7 +64,8 @@ def _packed_schedule(x_pix: Array, y_pix: Array, m, hpb: int, ng: int):
     return sched.reshape(bm * t, ng, 2)
 
 
-def _v9_kernel(sched_ref, *rest, meta, D, P, TQ, GSZ, TPP, NSCHED, ablate=""):
+def _v9_kernel(sched_ref, *rest, meta, D, P, TQ, GSZ, TPP, NSCHED, ablate="",
+               fused_loc=False):
     L = len(meta)
     grouped = [l for l, m in enumerate(meta) if not m.packed]
     packed = [l for l, m in enumerate(meta) if m.packed]
@@ -72,9 +73,20 @@ def _v9_kernel(sched_ref, *rest, meta, D, P, TQ, GSZ, TPP, NSCHED, ablate=""):
     GN = GSZ * TQ
     PTQ = P * TQ
 
-    loc_ref, w_ref = rest[0], rest[1]
-    vpack_refs = {l: rest[2 + i] for i, l in enumerate(packed)}
-    off = 2 + len(packed)
+    if fused_loc:
+        # fused-loc entry: loc_ref holds RAW bf16 sampling offsets (pixel
+        # units per level, the projection output untouched) and refp_ref the
+        # per-position f32 pixel reference grid (ref*[w,h] - 0.5, no M or P
+        # axis). Pixel locations are formed in VMEM per tile — the f32
+        # [B,M,L,P,2,S] materialization the standard path pays never exists.
+        loc_ref, refp_ref, w_ref = rest[0], rest[1], rest[2]
+        base_i = 3
+    else:
+        loc_ref, w_ref = rest[0], rest[1]
+        refp_ref = None
+        base_i = 2
+    vpack_refs = {l: rest[base_i + i] for i, l in enumerate(packed)}
+    off = base_i + len(packed)
     vref = {l: rest[off + i] for i, l in enumerate(grouped)}
     off += len(grouped)
     out_ref = rest[off]
@@ -91,14 +103,28 @@ def _v9_kernel(sched_ref, *rest, meta, D, P, TQ, GSZ, TPP, NSCHED, ablate=""):
         acc_ref[:] = jnp.zeros_like(acc_ref)
         tcol = tp * PTQ
 
+        def _xy(l, cols, rep):
+            """Pixel-space sampling coords [1, rep*TQ] for level l's columns."""
+            x = loc_ref[0, 2 * l : 2 * l + 1, cols].astype(jnp.float32)
+            y = loc_ref[0, 2 * l + 1 : 2 * l + 2, cols].astype(jnp.float32)
+            if fused_loc:
+                qcols = pl.ds(tp * TQ, TQ)
+                rx = refp_ref[0, 2 * l : 2 * l + 1, qcols]             # [1, TQ]
+                ry = refp_ref[0, 2 * l + 1 : 2 * l + 2, qcols]
+                if rep > 1:
+                    rx = jnp.concatenate([rx] * rep, axis=1)
+                    ry = jnp.concatenate([ry] * rep, axis=1)
+                x = x + rx
+                y = y + ry
+            return x, y
+
         # ---- grouped levels: x-selector matmul on a dynamic VMEM row slice ----
         for gi, l in enumerate(grouped if not skip_grouped else []):
             m = meta[l]
             iota_w = jax.lax.broadcasted_iota(jnp.int32, (m.wpad, GN), 0).astype(jnp.float32)
             for g in range(NG):
                 cols = pl.ds(tcol + g * GN, GN)
-                x = loc_ref[0, 2 * l : 2 * l + 1, cols].astype(jnp.float32)    # [1, GN]
-                y = loc_ref[0, 2 * l + 1 : 2 * l + 2, cols].astype(jnp.float32)
+                x, y = _xy(l, cols, GSZ)                               # [1, GN]
                 attn = w_ref[0, l : l + 1, cols].astype(jnp.float32)
                 # tent selector: exact bilinear x-weights incl. fringe/OOB (v7 proof)
                 rx = jnp.maximum(0.0, 1.0 - jnp.abs(x - iota_w))
@@ -143,8 +169,7 @@ def _v9_kernel(sched_ref, *rest, meta, D, P, TQ, GSZ, TPP, NSCHED, ablate=""):
         for pi, l in enumerate(packed if not skip_packed else []):
             m = meta[l]
             cols = pl.ds(tcol, PTQ)
-            x = loc_ref[0, 2 * l : 2 * l + 1, cols].astype(jnp.float32)       # [1, PTQ]
-            y = loc_ref[0, 2 * l + 1 : 2 * l + 2, cols].astype(jnp.float32)
+            x, y = _xy(l, cols, P)                                            # [1, PTQ]
             attn = w_ref[0, l : l + 1, cols].astype(jnp.float32)
             y0 = jnp.floor(y)
             ty = y - y0
@@ -360,12 +385,15 @@ def _forward_v9(value, spatial_shapes, sampling_locations, attention_weights):
 
 def _v9_dispatch(
     meta, loc_pix, w_T, v_grouped, v_packed, *, B, M, D, P, q_pad, tq, gsz,
-    tpp, out_dtype,
+    tpp, out_dtype, refp=None,
 ):
     """Shared kernel-call tail: schedules + grid spec + pallas_call.
 
     loc_pix: [BM, 2L, t, P, tq] pixel-unit locations; w_T: [BM, L, t*P*tq];
     v_grouped[l]: [BM, hpad*D, wpad]; v_packed[l]: [BM, hp*D, 128].
+    Fused-loc mode (refp not None): loc_pix instead holds RAW bf16 offsets in
+    the same layout and refp is the [B, 2L, t, tq] f32 pixel reference grid;
+    pixel locations are formed in-kernel (loc = ref*wh - 0.5 + off).
     Returns [BM, D, q_pad] in out_dtype.
     """
     L = len(meta)
@@ -376,6 +404,17 @@ def _v9_dispatch(
     ptq = P * tq
     ng = P // gsz
 
+    def _pix(c):
+        # channel c (= 2l + xy) of the pixel-space locations, [BM, t, P, tq]
+        # f32 — in fused mode reconstructed on the fly for schedule building
+        # only (XLA fuses the broadcast+add into the schedule reductions; the
+        # big array is never stored)
+        if refp is None:
+            return loc_pix[:, c]
+        r = refp[:, c].reshape(B, 1, t, 1, tq)
+        o = loc_pix[:, c].astype(jnp.float32).reshape(B, M, t, P, tq)
+        return (o + r).reshape(bm, t, P, tq)
+
     scheds, p_scheds = [], []
     for l, m in enumerate(meta):
         if m.packed:
@@ -385,15 +424,12 @@ def _v9_dispatch(
                     v_packed[l], ((0, 0), (0, (m.hpb - 1) * D), (0, 0))
                 )
                 p_scheds.append(
-                    _packed_schedule(
-                        loc_pix[:, 2 * l], loc_pix[:, 2 * l + 1], m, m.hpb, ng
-                    )
+                    _packed_schedule(_pix(2 * l), _pix(2 * l + 1), m, m.hpb, ng)
                 )
             else:
                 p_scheds.append(None)
         else:
-            y_pix = loc_pix[:, 2 * l + 1]
-            scheds.append(_group_schedule(y_pix, m.h, m.hb, m.ch, gsz))
+            scheds.append(_group_schedule(_pix(2 * l + 1), m.h, m.hb, m.ch, gsz))
     if any(s is not None for s in p_scheds):
         # packed schedules sit at stack positions len(grouped)+pi (kernel
         # contract); non-windowed packed levels get zero placeholders
@@ -414,13 +450,26 @@ def _v9_dispatch(
     kernel = functools.partial(
         _v9_kernel, meta=meta, D=D, P=P, TQ=tq, GSZ=gsz, TPP=tpp, NSCHED=nsched,
         ablate=os.environ.get("VNEXT_MSDA_V9_ABLATE", ""),
+        fused_loc=refp is not None,
     )
+
+    refp_specs, refp_args = [], []
+    if refp is not None:
+        refp = refp.reshape(B, 2 * L, t * tq)
+        refp_specs = [
+            # one block per (batch, tile): all M heads of a batch share it
+            pl.BlockSpec((1, 2 * L, tpp * tq), lambda b, ti, *_: (b // M, 0, ti))
+        ]
+        refp_args = [refp]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bm, tprog),
         in_specs=[
             pl.BlockSpec((1, 2 * L, tpp * ptq), lambda b, ti, *_: (b, 0, ti)),
+        ]
+        + refp_specs
+        + [
             pl.BlockSpec((1, L, tpp * ptq), lambda b, ti, *_: (b, 0, ti)),
         ]
         + [
@@ -465,6 +514,7 @@ def _v9_dispatch(
     )(
         sched,
         loc_pix,
+        *refp_args,
         w_T,
         *[v_packed[l] for l in packed],
         *[v_grouped[l] for l in grouped],
@@ -549,6 +599,86 @@ def ms_deform_attn_pallas_v9_cm(valueT, spatial_shapes, loc_cm, attn_cm):
         out_dtype=valueT.dtype,
     )
     # [BM, D, q_pad] -> [B, M*D, Q]: reshape only, no epilogue transpose
+    return out.reshape(B, M * D, q_pad)[:, :, :Q]
+
+
+def ms_deform_attn_pallas_v9_cm_fused(valueT, spatial_shapes, off_cm, ref_cm, attn_cm):
+    """Channel-major v9 forward with IN-KERNEL sampling-location computation.
+
+    Same math as ms_deform_attn_pallas_v9_cm on
+    ``loc = ref + off / [w, h]`` (reference semantics: the sampling_offsets
+    projection emits PIXEL-unit offsets per level — ms_deform_attn.py:63 in
+    idol/models/ops/modules divides by spatial_shapes), but the [B,M,L,P,2,S]
+    f32 location tensor is never materialized: the kernel receives the raw
+    (bf16) offsets plus a per-position f32 pixel reference grid (no M or P
+    axis, 1/(M·P·2) the size) and forms ``ref*wh - 0.5 + off`` in VMEM per
+    tile. Offsets are projection outputs, i.e. already exactly representable
+    in the compute dtype — feeding them unwidened loses nothing.
+
+    valueT:  [B, M*D, S];  off_cm: [B, M, L, P, 2, S] (any float dtype);
+    ref_cm:  [B, L, 2, S] normalized reference points;
+    attn_cm: [B, M, L, P, S] softmaxed attention weights.
+    Returns [B, M*D, S] channel-major output. Inference-only (no VJP).
+    """
+    B, MD, S = valueT.shape
+    _, M, L, P, _, Q = off_cm.shape
+    D = MD // M
+    spatial_shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
+    assert len(spatial_shapes) == L
+
+    tq, gsz, tpp, meta = _v9_config(spatial_shapes, P)
+    bm = B * M
+    q_pad = ((Q + tq * tpp - 1) // (tq * tpp)) * (tq * tpp)
+    t = q_pad // tq
+
+    off_p, w_p, ref_p = off_cm, attn_cm, ref_cm
+    if q_pad != Q:
+        # pad offsets with 0 and refs with 0.5 (level centre): padded queries
+        # sample in-bounds garbage whose output columns are sliced away
+        off_p = jnp.pad(off_p, ((0, 0),) * 5 + ((0, q_pad - Q),))
+        w_p = jnp.pad(w_p, ((0, 0),) * 4 + ((0, q_pad - Q),))
+        ref_p = jnp.pad(ref_p, ((0, 0),) * 3 + ((0, q_pad - Q),),
+                        constant_values=0.5)
+
+    # (P, t) swap on the RAW offsets — same tq-contiguous-line permutation as
+    # the cm entry but at the offsets' own dtype (half traffic at bf16) and
+    # with no arithmetic pass
+    off_T = jnp.transpose(
+        off_p.reshape(B, M, L, P, 2, t, tq), (0, 1, 2, 4, 5, 3, 6)
+    ).reshape(bm, 2 * L, t, P, tq)                              # [BM,2L,t,P,tq]
+
+    wh = np.zeros((1, L, 2, 1, 1), np.float32)
+    for l, (h, w) in enumerate(spatial_shapes):
+        wh[0, l, 0] = w
+        wh[0, l, 1] = h
+    refp = (
+        ref_p.reshape(B, L, 2, t, tq).astype(jnp.float32) * jnp.asarray(wh) - 0.5
+    ).reshape(B, 2 * L, t, tq)
+
+    w_T = jnp.transpose(
+        w_p.reshape(B, M, L, P, t, tq), (0, 1, 2, 4, 3, 5)
+    ).reshape(bm, L, t * P * tq)
+
+    v_grouped, v_packed = {}, {}
+    start = 0
+    for l, ((h, w), m) in enumerate(zip(spatial_shapes, meta)):
+        v_l = jax.lax.dynamic_slice_in_dim(valueT, start, h * w, axis=2)
+        start += h * w
+        v_l = v_l.reshape(B, M, D, h, w)
+        if m.packed:
+            vt = jnp.transpose(v_l.reshape(B, M, D, h * w), (0, 1, 3, 2))
+            v_packed[l] = _pack_level(vt.reshape(bm, h * w, D), m, bm, D)
+        else:
+            vt = jnp.transpose(v_l, (0, 1, 3, 2, 4)).reshape(bm, h * D, w)
+            v_grouped[l] = jnp.pad(
+                vt, ((0, 0), (0, (m.hpad - h) * D), (0, m.wpad - w))
+            )
+
+    out = _v9_dispatch(
+        meta, off_T, w_T, v_grouped, v_packed,
+        B=B, M=M, D=D, P=P, q_pad=q_pad, tq=tq, gsz=gsz, tpp=tpp,
+        out_dtype=valueT.dtype, refp=refp,
+    )
     return out.reshape(B, M * D, q_pad)[:, :, :Q]
 
 
