@@ -105,9 +105,13 @@ class SwinBlock(nn.Module):
     def __call__(self, x: Array, train: bool = False) -> Array:
         """x: [B, H, W, C]."""
         b, h0, w0, c = x.shape
+        # NO window/shift clamping on small maps: the reference detection Swin
+        # (idol/backbone/swin.py:247-262, BasicLayer:404-439) always pads the
+        # map to a multiple of window_size and keeps shift = ws//2, unlike the
+        # classification Swin. Clamping would re-index the 169-entry relative
+        # position bias table and misapply released Swin-L weights.
         win = self.window_size
-        shift = self.shift_size if min(h0, w0) > self.window_size else 0
-        win = min(win, max(h0, w0)) if min(h0, w0) < win else win
+        shift = self.shift_size
 
         shortcut = x
         x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
