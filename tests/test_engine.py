@@ -231,3 +231,27 @@ def test_checkpointer_resume_round_trip(tmp_path):
     loaded, step = ck.resume_or_load("", template, resume=True)
     np.testing.assert_array_equal(np.asarray(loaded.params["w"]), state.params["w"])
     assert step == 7
+
+
+def test_event_storage_put_image_and_histogram():
+    """reference detectron2/utils/events.py:294 (put_image), :347 (put_histogram)."""
+    import numpy as np
+
+    with EventStorage(start_iter=5) as storage:
+        img = np.zeros((3, 8, 8), dtype=np.uint8)
+        storage.put_image("viz/frame", img)
+        assert len(storage._vis_data) == 1
+        name, tensor, it = storage._vis_data[0]
+        assert name == "viz/frame" and it == 5 and tensor.shape == (3, 8, 8)
+        storage.clear_images()
+        assert storage._vis_data == []
+
+        vals = np.array([0.0, 1.0, 2.0, 3.0], dtype=np.float32)
+        storage.put_histogram("param/w", vals, bins=4)
+        (h,) = storage._histograms
+        assert h["tag"] == "param/w" and h["min"] == 0.0 and h["max"] == 3.0
+        assert h["num"] == 4 and h["sum"] == 6.0 and h["sum_squares"] == 14.0
+        assert len(h["bucket_limits"]) == 4 and sum(h["bucket_counts"]) == 4
+        assert h["global_step"] == 5
+        storage.clear_histograms()
+        assert storage._histograms == []

@@ -123,3 +123,84 @@ def test_image_list_fixed_target():
     assert il.tensor.shape == (1, 128, 128, 3)
     with pytest.raises(ValueError):
         ImageList.from_arrays(imgs, target_size=(16, 16))
+
+
+# ---- PolygonMasks / ROIMasks (reference structures/masks.py:259,464) ----
+
+
+def _square_poly(x0, y0, side):
+    return np.array([x0, y0, x0 + side, y0, x0 + side, y0 + side, x0, y0 + side], dtype=np.float64)
+
+
+def test_polygon_masks_basic():
+    from vnext_tpu.structures import PolygonMasks
+
+    pm = PolygonMasks([[_square_poly(2, 3, 10)], [_square_poly(0, 0, 4), _square_poly(20, 20, 6)], []])
+    assert len(pm) == 3
+    assert pm.nonempty().tolist() == [True, True, False]
+    boxes = pm.get_bounding_boxes()
+    np.testing.assert_allclose(boxes[0], [2, 3, 12, 13])
+    np.testing.assert_allclose(boxes[1], [0, 0, 26, 26])
+    areas = pm.area()
+    assert abs(areas[0] - 100.0) < 1e-6
+    assert abs(areas[1] - (16.0 + 36.0)) < 1e-6
+    # indexing modes: int, slice, list, bool mask, int array
+    assert len(pm[0]) == 1 and len(pm[0:2]) == 2 and len(pm[[0, 2]]) == 2
+    assert len(pm[np.array([True, False, True])]) == 2
+    assert len(pm[np.array([1])]) == 1
+    cat = PolygonMasks.cat([pm, pm[0]])
+    assert len(cat) == 4
+    with pytest.raises(ValueError):
+        PolygonMasks([[np.array([0.0, 0.0, 1.0, 1.0])]])  # 4 coords < 6
+
+
+def test_polygon_masks_crop_and_resize():
+    from vnext_tpu.structures import PolygonMasks
+
+    # A 10x10 square fully covering its own tight box rasterizes to (almost) all-ones.
+    pm = PolygonMasks([[_square_poly(2, 3, 10)]])
+    target = pm.crop_and_resize(np.array([[2.0, 3.0, 12.0, 13.0]]), mask_size=14)
+    assert target.shape == (1, 14, 14)
+    assert target.mean() > 0.9
+    # A square occupying the left half of a double-width box fills ~half the target.
+    target2 = pm.crop_and_resize(np.array([[2.0, 3.0, 22.0, 13.0]]), mask_size=16)
+    frac = target2.mean()
+    assert 0.35 < frac < 0.65
+    empty = PolygonMasks([]).crop_and_resize(np.zeros((0, 4)), 14)
+    assert empty.shape == (0, 14, 14)
+
+
+def test_roi_masks_to_bitmasks_matches_paste():
+    from vnext_tpu.structures import BitMasks, ROIMasks
+    from vnext_tpu.ops.mask_ops import paste_masks_in_image
+
+    rng = np.random.RandomState(0)
+    m = jnp.asarray(rng.rand(3, 14, 14).astype(np.float32))
+    boxes = jnp.asarray([[4.0, 4.0, 20.0, 18.0], [0.0, 0.0, 30.0, 30.0], [10.0, 5.0, 25.0, 28.0]])
+    rm = ROIMasks(m)
+    assert len(rm) == 3 and len(rm[0:2]) == 2
+    bm = rm.to_bitmasks(boxes, 32, 40, threshold=0.5)
+    assert isinstance(bm, BitMasks)
+    ref = paste_masks_in_image(m, boxes, (32, 40), threshold=0.5)
+    np.testing.assert_array_equal(np.asarray(bm.tensor), np.asarray(ref))
+    # pytree round trip
+    leaves, treedef = jax.tree_util.tree_flatten(rm)
+    rm2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert rm2.tensor.shape == (3, 14, 14)
+
+
+def test_bitmasks_from_polygon_and_roi_masks():
+    from vnext_tpu.structures import BitMasks, PolygonMasks, ROIMasks
+
+    pm = PolygonMasks([[_square_poly(1, 1, 5)], [_square_poly(8, 2, 4)]])
+    bm = BitMasks.from_polygon_masks(pm, 16, 16)
+    assert bm.tensor.shape == (2, 16, 16)
+    bb = np.asarray(bm.get_bounding_boxes())
+    np.testing.assert_allclose(bb[0], [1, 1, 7, 7])
+    # from raw list-of-lists too
+    bm2 = BitMasks.from_polygon_masks([[_square_poly(1, 1, 5)]], 16, 16)
+    assert bool(jnp.all(bm2.tensor[0] == bm.tensor[0]))
+    rm = ROIMasks(jnp.ones((1, 8, 8), dtype=jnp.float32))
+    bm3 = BitMasks.from_roi_masks(rm, jnp.asarray([[2.0, 2.0, 10.0, 10.0]]), 16, 16)
+    assert bm3.tensor.shape == (1, 16, 16)
+    assert 40 < int(bm3.tensor.sum()) < 100  # ~8x8 pasted square

@@ -13,7 +13,15 @@ from .boxes import (
     pairwise_iou,
 )
 from .instances import Instances
-from .masks import BitMasks, mask_iou_pairwise, polygons_to_bitmask
+from .masks import (
+    BitMasks,
+    PolygonMasks,
+    ROIMasks,
+    mask_iou_pairwise,
+    polygon_area,
+    polygons_to_bitmask,
+    rasterize_polygons_within_box,
+)
 from .image_list import ImageList
 
 __all__ = [

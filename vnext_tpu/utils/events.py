@@ -80,6 +80,48 @@ class EventStorage:
         self._latest_scalars: Dict[str, tuple] = {}
         self._iter = start_iter
         self._prefix = ""
+        self._vis_data: list = []
+        self._histograms: list = []
+
+    def put_image(self, img_name: str, img_tensor) -> None:
+        """Queue an RGB image for the TB writer (reference detectron2/utils/events.py:294).
+
+        ``img_tensor``: [3, H, W] uint8 in [0,255] or float in [0,1] (numpy or jax array).
+        """
+        import numpy as np
+
+        self._vis_data.append((img_name, np.asarray(img_tensor), self._iter))
+
+    def clear_images(self) -> None:
+        self._vis_data = []
+
+    def put_histogram(self, hist_name: str, hist_tensor, bins: int = 1000) -> None:
+        """Queue a raw histogram for the TB writer (reference detectron2/utils/events.py:347).
+
+        Stores the same raw-summary dict the reference builds with torch.histc, computed
+        with numpy so device arrays are pulled to host exactly once.
+        """
+        import numpy as np
+
+        vals = np.asarray(hist_tensor, dtype=np.float64).reshape(-1)
+        ht_min, ht_max = float(vals.min()), float(vals.max())
+        hist_counts, hist_edges = np.histogram(vals, bins=bins, range=(ht_min, ht_max))
+        self._histograms.append(
+            dict(
+                tag=hist_name,
+                min=ht_min,
+                max=ht_max,
+                num=int(vals.size),
+                sum=float(vals.sum()),
+                sum_squares=float(np.sum(vals**2)),
+                bucket_limits=hist_edges[1:].tolist(),
+                bucket_counts=hist_counts.tolist(),
+                global_step=self._iter,
+            )
+        )
+
+    def clear_histograms(self) -> None:
+        self._histograms = []
 
     @property
     def iter(self) -> int:
@@ -251,6 +293,14 @@ class TensorboardWriter(EventWriter):
                 self._writer.add_scalar(k, v, itr)
                 new_last = max(new_last, itr)
         self._last_write = new_last
+        if storage._vis_data:
+            for img_name, img, step_num in storage._vis_data:
+                self._writer.add_image(img_name, img, step_num)
+            storage.clear_images()
+        if storage._histograms:
+            for params in storage._histograms:
+                self._writer.add_histogram_raw(**params)
+            storage.clear_histograms()
 
     def close(self) -> None:
         if self._writer is not None:
