@@ -219,3 +219,49 @@ def test_ytvos_eval_native_matches_python_path():
     for k in stats_native:
         if stats_native[k] == stats_native[k]:  # skip NaN
             assert abs(stats_native[k] - stats_py[k]) < 1e-9, k
+
+
+def test_verify_final_loss_bounds():
+    """TEST.FINAL_LOSS_BOUND makes quick-schedule training falsifiable."""
+    import pytest
+
+    from vnext_tpu.config import get_cfg
+    from vnext_tpu.evaluation import verify_final_loss
+    from vnext_tpu.utils.events import EventStorage
+
+    class FakeTrainer:
+        storage = None
+
+    cfg = get_cfg()
+    cfg.TEST.FINAL_LOSS_BOUND = 10.0
+    t = FakeTrainer()
+    with EventStorage(0) as st:
+        st.put_scalar("total_loss", 8.5)
+        t.storage = st
+    assert verify_final_loss(cfg, t)
+    with EventStorage(0) as st:
+        st.put_scalar("total_loss", 123.0)  # corrupted-model blowup
+        t.storage = st
+    with pytest.raises(AssertionError):
+        verify_final_loss(cfg, t)
+    with EventStorage(0) as st:
+        st.put_scalar("total_loss", float("nan"))
+        t.storage = st
+    with pytest.raises(AssertionError):
+        verify_final_loss(cfg, t)
+    # disabled -> no-op
+    cfg.TEST.FINAL_LOSS_BOUND = 0.0
+    assert verify_final_loss(cfg, t)
+
+
+def test_verify_results_tight_tolerance_fails():
+    import pytest
+
+    from vnext_tpu.config import get_cfg
+    from vnext_tpu.evaluation import verify_results
+
+    cfg = get_cfg()
+    cfg.TEST.EXPECTED_RESULTS = [["bbox", "AP", 0.0, 0.02]]
+    assert verify_results(cfg, {"bbox": {"AP": 0.0}})
+    with pytest.raises(AssertionError):
+        verify_results(cfg, {"bbox": {"AP": 0.5}})

@@ -205,6 +205,9 @@ def do_train(cfg, resume=False):
             ]
         )
         trainer.train(start_iter, cfg.SOLVER.MAX_ITER)
+    from vnext_tpu.evaluation import verify_final_loss
+
+    verify_final_loss(cfg, trainer)
     return trainer
 
 

@@ -137,6 +137,10 @@ _C.TEST = CN()
 _C.TEST.EVAL_PERIOD = 0
 _C.TEST.DETECTIONS_PER_IMAGE = 100
 _C.TEST.EXPECTED_RESULTS = []
+# Quick-schedule guard: if > 0, assert the final recorded total_loss is finite
+# and <= this bound after training (makes instant tests able to fail on a
+# corrupted model; complements EXPECTED_RESULTS which pins eval metrics).
+_C.TEST.FINAL_LOSS_BOUND = 0.0
 _C.TEST.AUG = CN()
 _C.TEST.AUG.ENABLED = False
 _C.TEST.AUG.MIN_SIZES = (400, 500, 600, 700, 800, 900, 1000, 1100, 1200)

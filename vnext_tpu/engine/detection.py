@@ -342,4 +342,7 @@ def do_train_detection(cfg, resume: bool = False):
             ]
         )
         trainer.train(start_iter, cfg.SOLVER.MAX_ITER)
+    from ..evaluation import verify_final_loss
+
+    verify_final_loss(cfg, trainer)
     return trainer

@@ -7,7 +7,7 @@ from .pascal_voc_eval import PascalVOCDetectionEvaluator, voc_ap
 from .rle import rle_area, rle_decode, rle_encode, rle_iou
 from .rotated_coco_eval import RotatedCOCOEvaluator
 from .sem_seg_eval import SemSegEvaluator
-from .testing import flatten_results_dict, verify_results
+from .testing import flatten_results_dict, verify_final_loss, verify_results
 from .ytvis_eval import DatasetEvaluator, YTVISEvaluator, build_evaluator
 from .ytvos_eval import YTVOSeval, tube_iou
 
@@ -32,6 +32,7 @@ __all__ = [
     "YTVISEvaluator",
     "build_evaluator",
     "verify_results",
+    "verify_final_loss",
     "flatten_results_dict",
     "YTVOSeval",
     "tube_iou",

@@ -24,6 +24,49 @@ from .ytvos_eval import YTVOSeval
 logger = logging.getLogger("vnext_tpu")
 
 
+# COCO 17-keypoint OKS sigmas (pycocotools cocoeval.py computeOks)
+KPT_OKS_SIGMAS = (
+    np.array([0.26, 0.25, 0.25, 0.35, 0.35, 0.79, 0.79, 0.72, 0.72,
+              0.62, 0.62, 1.07, 1.07, 0.87, 0.87, 0.89, 0.89]) / 10.0
+)
+
+
+def compute_oks_matrix(dt_anns, gt_anns, sigmas=KPT_OKS_SIGMAS) -> np.ndarray:
+    """[D, G] object-keypoint-similarity matrix (cocoeval.computeOks semantics):
+    per visible GT keypoint, gaussian falloff scaled by per-keypoint sigma and GT
+    area; GTs with no labeled keypoints use expanded-box distance clamping."""
+    kvars = (sigmas * 2.0) ** 2
+    oks = np.zeros((len(dt_anns), len(gt_anns)))
+    for gi, gt in enumerate(gt_anns):
+        g = np.asarray(gt["keypoints"], np.float64).reshape(-1)
+        xg, yg, vg = g[0::3], g[1::3], g[2::3]
+        k1 = int((vg > 0).sum())
+        x, y, bw, bh = gt["bbox"]
+        x0, x1 = x - bw, x + 2 * bw
+        y0, y1 = y - bh, y + 2 * bh
+        area = float(gt.get("area", bw * bh))
+        for di, dt in enumerate(dt_anns):
+            d = np.asarray(dt["keypoints"], np.float64).reshape(-1)
+            xd, yd = d[0::3], d[1::3]
+            if k1 > 0:
+                dx, dy = xd - xg, yd - yg
+            else:
+                dx = np.maximum(0.0, x0 - xd) + np.maximum(0.0, xd - x1)
+                dy = np.maximum(0.0, y0 - yd) + np.maximum(0.0, yd - y1)
+            e = (dx**2 + dy**2) / kvars / (area + np.spacing(1)) / 2.0
+            if k1 > 0:
+                e = e[vg > 0]
+            oks[di, gi] = float(np.sum(np.exp(-e)) / e.shape[0]) if e.shape[0] else 0.0
+    return oks
+
+
+def _kp_extent_area(kps) -> float:
+    """Pseudo-area of a keypoint detection (pycocotools coco.loadRes convention)."""
+    k = np.asarray(kps, np.float64).reshape(-1)
+    xs, ys = k[0::3], k[1::3]
+    return float((xs.max() - xs.min()) * (ys.max() - ys.min()))
+
+
 def _box_to_rle(box, h, w):
     m = np.zeros((h, w), bool)
     x1, y1, x2, y2 = [int(round(v)) for v in box]

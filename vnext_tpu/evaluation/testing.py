@@ -39,6 +39,28 @@ def verify_results(cfg, results: Mapping[str, Mapping[str, float]]) -> bool:
     return True
 
 
+def verify_final_loss(cfg, trainer) -> bool:
+    """Assert the final training total_loss is finite and <= cfg.TEST.FINAL_LOSS_BOUND.
+
+    The quick-schedule analogue of the reference's inference_acc assertions: a
+    deliberately corrupted model diverges and fails this bound (EXPECTED_RESULTS
+    alone cannot catch that on untrained synthetic-data runs where AP is pinned 0).
+    """
+    bound = float(getattr(cfg.TEST, "FINAL_LOSS_BOUND", 0.0) or 0.0)
+    if bound <= 0:
+        return True
+    storage = getattr(trainer, "storage", None)
+    if storage is None or "total_loss" not in storage.histories():
+        raise AssertionError("FINAL_LOSS_BOUND set but no total_loss was recorded")
+    final = storage.history("total_loss").latest()
+    if not np.isfinite(final) or final > bound:
+        raise AssertionError(
+            f"Final total_loss {final} violates TEST.FINAL_LOSS_BOUND {bound}"
+        )
+    logger.info("Final loss verified: %.4f <= %.4f", final, bound)
+    return True
+
+
 def flatten_results_dict(results: Mapping) -> Dict[str, float]:
     """{'a': {'b': 1}} -> {'a/b': 1} (nested task/metric dicts to flat keys)."""
     flat = {}

@@ -198,9 +198,16 @@ class YTVOSeval:
         iou_thrs: Optional[np.ndarray] = None,
         max_dets: Sequence[int] = (1, 10, 100),
         area_ranges: Optional[Dict[str, List[float]]] = None,
+        iou_fn=None,
+        area_fn=None,
     ):
         self.gt = gt
         self.results = results
+        # pluggable similarity/binning: the keypoints task evaluates with OKS
+        # in place of tube IoU and with annotation-area binning (pycocotools
+        # cocoeval.computeOks / Params(iouType='keypoints') semantics)
+        self.iou_fn = iou_fn
+        self.area_fn = area_fn or (lambda ann: _avg_area(ann["segmentations"]))
         self.iou_thrs = iou_thrs if iou_thrs is not None else np.linspace(0.5, 0.95, 10)
         self.rec_thrs = np.linspace(0.0, 1.0, 101)
         self.max_dets = list(max_dets)
@@ -245,7 +252,8 @@ class YTVOSeval:
                         gt_ignore = np.array(
                             [
                                 bool(g.get("iscrowd", 0))
-                                or not (arange[0] <= _avg_area(g["segmentations"]) <= arange[1])
+                                or bool(g.get("ignore", 0))
+                                or not (arange[0] <= self.area_fn(g) <= arange[1])
                                 for g in gt_anns
                             ],
                             bool,
@@ -259,7 +267,11 @@ class YTVOSeval:
                         n_gt_total += int((~gt_ignore).sum())
                         if not dt_anns:
                             continue
-                        iou = _tube_iou_matrix(dt_anns, gt_anns)
+                        iou = (
+                            self.iou_fn(dt_anns, gt_anns)
+                            if self.iou_fn is not None
+                            else _tube_iou_matrix(dt_anns, gt_anns)
+                        )
                         matched_td, ignored_td = _match_greedy(
                             iou, gt_ignore, self.iou_thrs, iscrowd
                         )
@@ -267,7 +279,7 @@ class YTVOSeval:
                         # ignored, not FPs (ytvoseval.py:330-331 dtIg |= ...)
                         dt_out = np.array(
                             [
-                                not (arange[0] <= _avg_area(d["segmentations"]) <= arange[1])
+                                not (arange[0] <= self.area_fn(d) <= arange[1])
                                 for d in dt_anns
                             ],
                             bool,
@@ -323,11 +335,12 @@ class YTVOSeval:
             "AP": _summ(precision[:, :, :, ai_all, mi_max]),
             "AP50": _summ(precision[t50, :, :, ai_all, mi_max]),
             "AP75": _summ(precision[t75, :, :, ai_all, mi_max]),
-            "APs": _summ(precision[:, :, :, list(self.area_ranges).index("small"), mi_max]),
-            "APm": _summ(precision[:, :, :, list(self.area_ranges).index("medium"), mi_max]),
-            "APl": _summ(precision[:, :, :, list(self.area_ranges).index("large"), mi_max]),
-            "AR@1": _summ(recall[:, :, ai_all, 0]),
-            "AR@10": _summ(recall[:, :, ai_all, min(1, mi_max)]),
-            "AR@100": _summ(recall[:, :, ai_all, mi_max]),
         }
+        for aname, short in (("small", "APs"), ("medium", "APm"), ("large", "APl")):
+            if aname in self.area_ranges:
+                self.stats[short] = _summ(
+                    precision[:, :, :, list(self.area_ranges).index(aname), mi_max]
+                )
+        for mi, md in enumerate(self.max_dets):
+            self.stats[f"AR@{md}"] = _summ(recall[:, :, ai_all, mi])
         return self.stats
