@@ -8,6 +8,7 @@ cd "$ROOT"
 
 $BIN -m pytest -q \
     tests/test_rcnn.py \
+    tests/test_keypoint_pipeline.py \
     tests/test_retinanet.py \
     tests/test_fcos.py \
     tests/test_backbone_variants.py \

@@ -42,15 +42,24 @@ def load_coco_json(
                 segm = [p for p in segm if len(p) % 2 == 0 and len(p) >= 6]
                 if not segm:
                     continue
-            objs.append(
-                {
-                    "iscrowd": ann.get("iscrowd", 0),
-                    "id": ann["id"],
-                    "category_id": id_map[ann["category_id"]] if id_map else ann["category_id"],
-                    "bbox": ann["bbox"],  # XYWH_ABS
-                    "segmentation": segm,
-                }
-            )
+            obj = {
+                "iscrowd": ann.get("iscrowd", 0),
+                "id": ann["id"],
+                "category_id": id_map[ann["category_id"]] if id_map else ann["category_id"],
+                "bbox": ann["bbox"],  # XYWH_ABS
+                "segmentation": segm,
+            }
+            keypts = ann.get("keypoints")
+            if keypts:
+                # reference load_coco_json keypoint convention: shift integer
+                # pixel-index coords by 0.5 to box-coordinate space (coco.py:238)
+                keypts = [
+                    v + 0.5 if i % 3 != 2 and isinstance(v, int) else v
+                    for i, v in enumerate(keypts)
+                ]
+                obj["keypoints"] = keypts
+                obj["num_keypoints"] = ann.get("num_keypoints", sum(1 for v in keypts[2::3] if v > 0))
+            objs.append(obj)
         records.append(
             {
                 "file_name": os.path.join(image_root, img["file_name"]),
@@ -74,14 +83,23 @@ def register_coco_instances(name: str, metadata: dict, json_file: str, image_roo
 _PREDEFINED_COCO = {
     "coco_2017_train": ("coco/train2017", "coco/annotations/instances_train2017.json"),
     "coco_2017_val": ("coco/val2017", "coco/annotations/instances_val2017.json"),
+    "keypoints_coco_2017_train": (
+        "coco/train2017", "coco/annotations/person_keypoints_train2017.json",
+    ),
+    "keypoints_coco_2017_val": (
+        "coco/val2017", "coco/annotations/person_keypoints_val2017.json",
+    ),
 }
 
 
 def register_all_coco(root: Optional[str] = None) -> None:
+    from .builtin_meta import get_keypoint_metadata
+
     root = root or os.environ.get("VNEXT_DATASETS", "datasets")
     for name, (image_dir, json_path) in _PREDEFINED_COCO.items():
         if name in DatasetCatalog:
             continue
+        metadata = get_keypoint_metadata() if name.startswith("keypoints_") else {}
         register_coco_instances(
-            name, {}, os.path.join(root, json_path), os.path.join(root, image_dir)
+            name, metadata, os.path.join(root, json_path), os.path.join(root, image_dir)
         )

@@ -18,6 +18,19 @@ import numpy as np
 
 _DEFAULT_ROOT = os.environ.get("VNEXT_SYNTH_ROOT", "/tmp/vnext_synth_datasets")
 
+# bump to invalidate cached /tmp datasets when the generated format changes
+_FORMAT_VERSION = 2
+
+
+def _cache_valid(json_file: str) -> bool:
+    if not os.path.exists(json_file):
+        return False
+    try:
+        with open(json_file) as f:
+            return json.load(f).get("info", {}).get("synth_format") == _FORMAT_VERSION
+    except Exception:
+        return False
+
 THING_CLASSES = ["square", "wide", "tall"]
 
 
@@ -36,6 +49,13 @@ def _make_image(rng: np.random.RandomState, h: int, w: int, n_objs: int):
         y = int(rng.randint(0, max(h - bh, 1)))
         color = rng.randint(150, 255, size=3)
         img[y : y + bh, x : x + bw] = color
+        # deterministic 17-keypoint grid inside the box (keypoint-RCNN tests)
+        kidx = np.arange(17)
+        kxs = x + (kidx % 4 + 0.5) / 4.0 * bw
+        kys = y + (kidx // 4 + 0.5) / 5.0 * bh
+        keypoints = []
+        for kx, ky in zip(kxs, kys):
+            keypoints += [float(kx), float(ky), 2]
         annotations.append(
             {
                 "bbox": [x, y, bw, bh],
@@ -45,6 +65,8 @@ def _make_image(rng: np.random.RandomState, h: int, w: int, n_objs: int):
                 ],
                 "area": bw * bh,
                 "iscrowd": 0,
+                "keypoints": keypoints,
+                "num_keypoints": 17,
             }
         )
     return img, annotations
@@ -58,7 +80,7 @@ def generate_synthetic_coco(
 
     img_dir = os.path.join(root, "images")
     json_file = os.path.join(root, "instances.json")
-    if os.path.exists(json_file):
+    if _cache_valid(json_file):
         return json_file
     os.makedirs(img_dir, exist_ok=True)
     rng = np.random.RandomState(seed)
@@ -76,6 +98,7 @@ def generate_synthetic_coco(
             anns.append(obj)
             ann_id += 1
     coco = {
+        "info": {"synth_format": _FORMAT_VERSION},
         "images": images,
         "annotations": anns,
         "categories": [
@@ -96,7 +119,7 @@ def generate_synthetic_ytvis(
     from PIL import Image
 
     json_file = os.path.join(root, "instances.json")
-    if os.path.exists(json_file):
+    if _cache_valid(json_file):
         return json_file
     rng = np.random.RandomState(seed)
     videos, anns = [], []
@@ -143,6 +166,7 @@ def generate_synthetic_ytvis(
             )
             ann_id += 1
     ytvis = {
+        "info": {"synth_format": _FORMAT_VERSION},
         "videos": videos,
         "annotations": anns,
         "categories": [{"id": i + 1, "name": n} for i, n in enumerate(THING_CLASSES)],

@@ -15,7 +15,8 @@ from typing import Dict, Optional, Sequence, Tuple
 import numpy as np
 
 from .dataset_mapper import _load_image, decode_segmentation
-from .transforms import ClipAugmentation, TransformList
+from .datasets.builtin_meta import keypoint_flip_indices
+from .transforms import ClipAugmentation, TransformList, transform_keypoint_annotations
 
 
 class DetectionDatasetMapper:
@@ -27,6 +28,9 @@ class DetectionDatasetMapper:
         max_insts: int = 64,
         target_size: Tuple[int, int] = (800, 1344),
         mask_on: bool = False,
+        keypoint_on: bool = False,
+        num_keypoints: int = 17,
+        kp_hflip_indices=None,
         image_loader=_load_image,
     ):
         self.is_train = is_train
@@ -37,6 +41,12 @@ class DetectionDatasetMapper:
         self.max_insts = max_insts
         self.target_size = tuple(target_size)
         self.mask_on = mask_on
+        self.keypoint_on = keypoint_on
+        self.num_keypoints = num_keypoints
+        # default flip map is the COCO 17-person layout (builtin_meta.py)
+        self.kp_hflip_indices = (
+            list(kp_hflip_indices) if kp_hflip_indices is not None else list(keypoint_flip_indices())
+        )
         self.image_loader = image_loader
 
     @classmethod
@@ -48,6 +58,8 @@ class DetectionDatasetMapper:
             max_insts=cfg.TPU.MAX_INSTANCES,
             target_size=tuple(cfg.TPU.TRAIN_IMAGE_SIZE if is_train else cfg.TPU.TEST_IMAGE_SIZE),
             mask_on=cfg.MODEL.MASK_ON,
+            keypoint_on=cfg.MODEL.KEYPOINT_ON,
+            num_keypoints=cfg.MODEL.ROI_KEYPOINT_HEAD.NUM_KEYPOINTS,
         )
 
     def __call__(self, record: dict, rng: Optional[random.Random] = None) -> Dict[str, np.ndarray]:
@@ -69,6 +81,7 @@ class DetectionDatasetMapper:
         masks = (
             np.zeros((k, th, tw), bool) if self.mask_on else None
         )
+        keypoints = np.zeros((k, self.num_keypoints, 3), np.float32) if self.keypoint_on else None
         oh = record.get("height", img.shape[0])
         ow = record.get("width", img.shape[1])
         slot = 0
@@ -91,6 +104,10 @@ class DetectionDatasetMapper:
                 masks[slot, : min(m.shape[0], th), : min(m.shape[1], tw)] = (
                     m[:th, :tw]
                 )
+            if self.keypoint_on and obj.get("keypoints") is not None:
+                keypoints[slot] = transform_keypoint_annotations(
+                    obj["keypoints"], tfms, (h, w), self.kp_hflip_indices
+                ).astype(np.float32)
             slot += 1
 
         out = {
@@ -103,6 +120,8 @@ class DetectionDatasetMapper:
         }
         if self.mask_on:
             out["masks"] = masks
+        if self.keypoint_on:
+            out["keypoints"] = keypoints
         return out
 
 

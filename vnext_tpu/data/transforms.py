@@ -366,3 +366,39 @@ class ClipAugmentation:
         if self.is_train and self.flip and rng.random() < 0.5:
             tfms.append(HFlipTransform(cur_w))
         return TransformList(tfms)
+
+
+def count_hflips(transform) -> int:
+    """Number of HFlipTransforms in a (possibly nested) transform (list)."""
+    if isinstance(transform, TransformList):
+        return sum(count_hflips(t) for t in transform.transforms)
+    return int(isinstance(transform, HFlipTransform))
+
+
+def transform_keypoint_annotations(keypoints, transforms, image_size, keypoint_hflip_indices=None):
+    """Transform COCO keypoint annotations ([x,y,vis]*K flat or [K,3]).
+
+    Semantics mirror the reference detection_utils.py transform_keypoint_annotations:
+    apply_coords on xy, out-of-image points become unlabeled (vis=0), an odd number
+    of horizontal flips permutes the keypoint order by the flip map, and unlabeled
+    keypoints are zeroed (COCO convention). ``image_size`` is (h, w) AFTER transform.
+    """
+    keypoints = np.asarray(keypoints, dtype=np.float64).reshape(-1, 3)
+    keypoints_xy = transforms.apply_coords(keypoints[:, :2].copy())
+    inside = (keypoints_xy >= np.array([0, 0])) & (
+        keypoints_xy <= np.array(image_size[::-1])
+    )
+    inside = inside.all(axis=1)
+    keypoints[:, :2] = keypoints_xy
+    keypoints[:, 2][~inside] = 0
+    if count_hflips(transforms) % 2 == 1:
+        if keypoint_hflip_indices is None:
+            raise ValueError("Cannot flip keypoints without providing flip indices!")
+        if len(keypoints) != len(keypoint_hflip_indices):
+            raise ValueError(
+                f"Keypoint data has {len(keypoints)} points, but metadata "
+                f"contains {len(keypoint_hflip_indices)} points!"
+            )
+        keypoints = keypoints[np.asarray(keypoint_hflip_indices, dtype=np.int32)]
+    keypoints[keypoints[:, 2] == 0] = 0
+    return keypoints

@@ -87,6 +87,7 @@ def make_batch_adapter(cfg, rng_key=None):
     mean = jnp.asarray(cfg.MODEL.PIXEL_MEAN, jnp.float32)
     std = jnp.asarray(cfg.MODEL.PIXEL_STD, jnp.float32)
     mask_on = spec["masks"] and cfg.MODEL.MASK_ON
+    keypoint_on = arch == "GeneralizedRCNN" and cfg.MODEL.KEYPOINT_ON
 
     def adapter(batch):
         images = (jnp.asarray(batch["image"]).astype(jnp.float32) - mean) / std
@@ -105,6 +106,8 @@ def make_batch_adapter(cfg, rng_key=None):
             args.append(targets)
         if mask_on and "masks" in batch:
             kwargs["gt_masks"] = jnp.asarray(batch["masks"], jnp.float32)
+        if keypoint_on and "keypoints" in batch:
+            kwargs["gt_keypoints"] = jnp.asarray(batch["keypoints"], jnp.float32)
         if spec["sem_seg"] and arch != "SemanticSegmentor" and "sem_seg" in batch:
             kwargs["sem_seg_gt"] = jnp.asarray(batch["sem_seg"])
         return tuple(args), kwargs

@@ -118,6 +118,9 @@ class COCOEvaluator(DatasetEvaluator):
                 }
                 if masks is not None:
                     entry["segmentation"] = rle_encode(np.asarray(masks[i], bool))
+                kps = output.get("keypoints")
+                if kps is not None:
+                    entry["keypoints"] = np.asarray(kps[i], np.float64).reshape(-1).tolist()
                 self._predictions.append(entry)
 
     def evaluate(self) -> Optional[Dict[str, Dict[str, float]]]:
@@ -171,6 +174,10 @@ class COCOEvaluator(DatasetEvaluator):
 
         results = {}
         for task in self._tasks:
+            if task == "keypoints":
+                results[task] = self._evaluate_keypoints(gt, predictions)
+                logger.info("COCO %s eval: %s", task, results[task])
+                continue
             dets = []
             for p in predictions:
                 h, w = sizes[p["image_id"]]
@@ -212,3 +219,45 @@ class COCOEvaluator(DatasetEvaluator):
             results[task] = stats
             logger.info("COCO %s eval: %s", task, stats)
         return results
+
+    def _evaluate_keypoints(self, gt: dict, predictions: List[dict]):
+        """OKS-matched keypoint AP (pycocotools Params(iouType='keypoints'):
+        maxDets=[20], area bins all/medium/large, GTs with no labeled keypoints
+        ignored; reference task wiring coco_evaluation.py:34)."""
+        gt_kp = {
+            "videos": [
+                {"id": im["id"], "height": im["height"], "width": im["width"], "length": 1,
+                 "file_names": [im.get("file_name", "")]}
+                for im in gt["images"]
+            ],
+            "categories": gt.get("categories", []),
+            "annotations": [],
+        }
+        for ann in gt.get("annotations", []) or []:
+            if "keypoints" not in ann:
+                continue
+            vis = np.asarray(ann["keypoints"][2::3])
+            x, y, bw, bh = ann["bbox"]
+            gt_kp["annotations"].append(
+                {"id": ann["id"], "video_id": ann["image_id"],
+                 "category_id": ann["category_id"], "keypoints": ann["keypoints"],
+                 "bbox": ann["bbox"], "area": float(ann.get("area", bw * bh)),
+                 "iscrowd": ann.get("iscrowd", 0),
+                 "ignore": int(ann.get("num_keypoints", int((vis > 0).sum())) == 0),
+                 "segmentations": [None]}
+            )
+        dets = [
+            {"video_id": p["image_id"], "category_id": p["category_id"],
+             "score": p["score"], "keypoints": p["keypoints"],
+             "area": _kp_extent_area(p["keypoints"]), "segmentations": [None]}
+            for p in predictions
+            if "keypoints" in p
+        ]
+        return YTVOSeval(
+            gt_kp,
+            dets,
+            max_dets=(20,),
+            area_ranges={"all": [0, 1e10], "medium": [32**2, 96**2], "large": [96**2, 1e10]},
+            iou_fn=compute_oks_matrix,
+            area_fn=lambda a: float(a["area"]),
+        ).evaluate()

@@ -175,7 +175,11 @@ def build_evaluator(cfg, dataset_name: str, output_dir: Optional[str] = None):
         from .evaluator import DatasetEvaluators
         from .panoptic_eval import COCOPanopticEvaluator
 
-        tasks = ("bbox", "segm") if cfg.MODEL.MASK_ON else ("bbox",)
+        tasks = ("bbox",)
+        if cfg.MODEL.MASK_ON:
+            tasks = tasks + ("segm",)
+        if cfg.MODEL.KEYPOINT_ON:
+            tasks = tasks + ("keypoints",)
         evaluators = [COCOEvaluator(dataset_name, tasks=tasks, output_dir=output_dir)]
         if evaluator_type == "coco_panoptic_seg":
             thing_ids = set(
