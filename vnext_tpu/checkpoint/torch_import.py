@@ -75,6 +75,21 @@ def _mlp(key_prefix: str, out_prefix: Tuple[str, ...], sd, out, num_layers=3):
         _linear(f"{key_prefix}.layers.{j}", out_prefix + (f"layers_{j}",), sd, out)
 
 
+def _packed_mha(key_prefix: str, out_prefix: Tuple[str, ...], sd, out):
+    """torch nn.MultiheadAttention (packed in_proj) -> q/k/v/out_proj Denses."""
+    w = sd.get(f"{key_prefix}.in_proj_weight")
+    b = sd.get(f"{key_prefix}.in_proj_bias")
+    if w is not None:
+        c = w.shape[0] // 3
+        for j, name in enumerate(("q_proj", "k_proj", "v_proj")):
+            out[out_prefix + (name, "kernel")] = np.ascontiguousarray(
+                w[j * c : (j + 1) * c].T
+            )
+            if b is not None:
+                out[out_prefix + (name, "bias")] = b[j * c : (j + 1) * c]
+    _linear(f"{key_prefix}.out_proj", out_prefix + ("out_proj",), sd, out)
+
+
 def _convert_swin_backbone(bb: str, sd, out) -> None:
     """Map detection-Swin names (idol/backbone/swin.py) to our SwinTransformer tree."""
     _conv(f"{bb}.patch_embed.proj", ("backbone", "patch_embed"), sd, out)
@@ -201,6 +216,99 @@ def convert_idol_checkpoint(
     for lay in ("lay1", "lay2", "lay3", "lay4", "dcn"):
         _conv(f"detr.mask_head.{lay}", ("mask_head", lay), sd, out)
 
+    return out
+
+
+def convert_seqformer_transformer(
+    sd: Dict[str, np.ndarray],
+    enc_layers: int = 6,
+    dec_layers: int = 6,
+    prefix: Tuple[str, ...] = (),
+) -> Dict[Tuple[str, ...], np.ndarray]:
+    """Map a reference SeqFormer DeformableTransformer state_dict to our
+    SeqFormerTransformer param tree.
+
+    Reference layout: projects/SeqFormer/seqformer/models/deformable_transformer.py
+    (encoder identical to IDOL's; the decoder layer adds the box-query branch —
+    self_attn_box / norm{1,2,3}_box / linear{1,2}_box, the dual-output
+    cross-attention output_proj_box from ops/modules/ms_deform_attn.py:61, and
+    time_attention_weights at :242). ``decoder.bbox_embed.{i}`` entries (attached
+    by deformable_detr.py:106 under with_box_refine) map to our in-transformer
+    ``bbox_embed_{i}`` MLPs.
+    """
+    out: Dict[Tuple[str, ...], np.ndarray] = {}
+    if "level_embed" in sd:
+        out[prefix + ("level_embed",)] = sd["level_embed"]
+    _linear("reference_points", prefix + ("reference_points",), sd, out)
+    for i in range(enc_layers):
+        pre = f"encoder.layers.{i}"
+        tgt = prefix + (f"encoder_{i}",)
+        for mod in ("sampling_offsets", "attention_weights", "value_proj", "output_proj"):
+            _linear(f"{pre}.self_attn.{mod}", tgt + ("self_attn", mod), sd, out)
+        _norm(f"{pre}.norm1", tgt + ("norm1",), sd, out)
+        _norm(f"{pre}.norm2", tgt + ("norm2",), sd, out)
+        _linear(f"{pre}.linear1", tgt + ("linear1",), sd, out)
+        _linear(f"{pre}.linear2", tgt + ("linear2",), sd, out)
+    for i in range(dec_layers):
+        pre = f"decoder.layers.{i}"
+        tgt = prefix + (f"decoder_{i}",)
+        for mod in (
+            "sampling_offsets", "attention_weights", "value_proj",
+            "output_proj", "output_proj_box",
+        ):
+            _linear(f"{pre}.cross_attn.{mod}", tgt + ("cross_attn", mod), sd, out)
+        _packed_mha(f"{pre}.self_attn", tgt + ("self_attn",), sd, out)
+        _packed_mha(f"{pre}.self_attn_box", tgt + ("self_attn_box",), sd, out)
+        for n in ("norm1", "norm2", "norm3", "norm1_box", "norm2_box", "norm3_box"):
+            _norm(f"{pre}.{n}", tgt + (n,), sd, out)
+        for l in ("linear1", "linear2", "linear1_box", "linear2_box"):
+            _linear(f"{pre}.{l}", tgt + (l,), sd, out)
+        _linear(
+            f"{pre}.time_attention_weights", tgt + ("time_attention_weights",), sd, out
+        )
+        _mlp(f"decoder.bbox_embed.{i}", prefix + (f"bbox_embed_{i}",), sd, out)
+    return out
+
+
+def convert_mask2former_decoder(
+    sd: Dict[str, np.ndarray],
+    dec_layers: int = 9,
+    prefix: Tuple[str, ...] = (),
+) -> Dict[Tuple[str, ...], np.ndarray]:
+    """Map a reference MultiScaleMaskedTransformerDecoder state_dict
+    (mask2former/modeling/transformer_decoder/mask2former_transformer_decoder.py:208)
+    to our MaskedTransformerDecoder param tree."""
+    out: Dict[Tuple[str, ...], np.ndarray] = {}
+    for name, tgt in (
+        ("query_feat.weight", "query_feat"),
+        ("query_embed.weight", "query_embed"),
+        ("level_embed.weight", "dec_level_embed"),
+    ):
+        if name in sd:
+            out[prefix + (tgt,)] = sd[name]
+    _norm("decoder_norm", prefix + ("decoder_norm",), sd, out)
+    _linear("class_embed", prefix + ("class_embed",), sd, out)
+    _mlp("mask_embed", prefix + ("mask_embed",), sd, out)
+    for i in range(dec_layers):
+        _packed_mha(
+            f"transformer_cross_attention_layers.{i}.multihead_attn",
+            prefix + (f"cross_{i}",), sd, out,
+        )
+        _norm(
+            f"transformer_cross_attention_layers.{i}.norm",
+            prefix + (f"cross_norm_{i}",), sd, out,
+        )
+        _packed_mha(
+            f"transformer_self_attention_layers.{i}.self_attn",
+            prefix + (f"self_{i}",), sd, out,
+        )
+        _norm(
+            f"transformer_self_attention_layers.{i}.norm",
+            prefix + (f"self_norm_{i}",), sd, out,
+        )
+        _linear(f"transformer_ffn_layers.{i}.linear1", prefix + (f"ffn1_{i}",), sd, out)
+        _linear(f"transformer_ffn_layers.{i}.linear2", prefix + (f"ffn2_{i}",), sd, out)
+        _norm(f"transformer_ffn_layers.{i}.norm", prefix + (f"ffn_norm_{i}",), sd, out)
     return out
 
 

@@ -59,23 +59,24 @@ class MSDeformAttnPixelDecoder(nn.Module):
         """feats: res2..res5 NHWC. Returns (mask_features [B,H4,W4,mask_dim],
         multi_scale [3 x [B,h,w,C]])."""
         b = feats["res2"].shape[0]
-        srcs, poses, valid_hw = [], [], []
+        srcs, poses = [], []
         for lvl, name in enumerate(("res3", "res4", "res5")):
             src = nn.Conv(self.hidden_dim, (1, 1), dtype=self.dtype, name=f"input_proj_{lvl}")(
                 feats[name]
             )
             src = nn.GroupNorm(num_groups=32, dtype=self.dtype, name=f"input_norm_{lvl}")(src)
-            stride = 2 ** (lvl + 3)
-            vhw = jnp.minimum(
-                -(-image_sizes // stride),
-                jnp.asarray([src.shape[1], src.shape[2]], image_sizes.dtype),
+            # the reference pixel decoder ignores padding entirely
+            # (msdeformattn.py:62 ``masks = zeros``) and uses the plain-cumsum
+            # sine convention; match both for checkpoint/AP parity
+            vhw = jnp.broadcast_to(
+                jnp.asarray([src.shape[1], src.shape[2]], jnp.int32), (b, 2)
             )
             pos = sine_position_embedding(
-                vhw, src.shape[1], src.shape[2], num_pos_feats=self.hidden_dim // 2
+                vhw, src.shape[1], src.shape[2],
+                num_pos_feats=self.hidden_dim // 2, offset=1.0,
             ).astype(self.dtype)
             srcs.append(src)
             poses.append(pos)
-            valid_hw.append(vhw)
 
         spatial_shapes = tuple((int(s.shape[1]), int(s.shape[2])) for s in srcs)
         level_embed = self.param(
@@ -89,20 +90,12 @@ class MSDeformAttnPixelDecoder(nn.Module):
                 pos.reshape(b, h * w, self.hidden_dim)
                 + level_embed[lvl][None, None].astype(pos.dtype)
             )
-            ys = jnp.arange(h)[None, :, None]
-            xs = jnp.arange(w)[None, None, :]
-            pad = ~((ys < valid_hw[lvl][:, 0][:, None, None]) & (xs < valid_hw[lvl][:, 1][:, None, None]))
-            mask_flat.append(pad.reshape(b, h * w))
+            mask_flat.append(jnp.zeros((b, h * w), bool))
         src_flat = jnp.concatenate(src_flat, 1)
         pos_flat = jnp.concatenate(pos_flat, 1)
         mask_flat = jnp.concatenate(mask_flat, 1)
 
-        vr = []
-        for lvl, (h, w) in enumerate(spatial_shapes):
-            vw = valid_hw[lvl][:, 1].astype(jnp.float32) / w
-            vh = valid_hw[lvl][:, 0].astype(jnp.float32) / h
-            vr.append(jnp.stack([vw, vh], -1))
-        valid_ratios = jnp.stack(vr, 1)
+        valid_ratios = jnp.ones((b, len(spatial_shapes), 2), jnp.float32)
         enc_ref = encoder_reference_points(spatial_shapes, valid_ratios)
 
         if not train:
@@ -169,9 +162,12 @@ class MaskedTransformerDecoder(nn.Module):
         srcs, poses, sizes = [], [], []
         for lvl, f in enumerate(multi_scale):
             h, w = f.shape[1:3]
-            stride = 2 ** (lvl + 3)
-            vhw = jnp.minimum(-(-image_sizes // stride), jnp.asarray([h, w], image_sizes.dtype))
-            pos = sine_position_embedding(vhw, h, w, num_pos_feats=c // 2).astype(self.dtype)
+            # reference decoder pe: mask=None (all valid), plain-cumsum sine
+            # (mask2former_transformer_decoder.py:374 pe_layer(x, None))
+            vhw = jnp.broadcast_to(jnp.asarray([h, w], jnp.int32), (b, 2))
+            pos = sine_position_embedding(
+                vhw, h, w, num_pos_feats=c // 2, offset=1.0
+            ).astype(self.dtype)
             srcs.append(f.reshape(b, h * w, c) + level_embed[lvl][None, None].astype(f.dtype))
             poses.append(pos.reshape(b, h * w, c))
             sizes.append((h, w))

@@ -23,16 +23,21 @@ def sine_position_embedding(
     feat_w: int,
     num_pos_feats: int = 128,
     temperature: float = 10000.0,
+    offset: float = 0.5,
 ) -> Array:
     """[B, H, W, 2*num_pos_feats] sine embedding.
 
     valid_hw: [B, 2] float/int — number of *valid* rows/cols at this feature level.
+    offset: 0.5 reproduces the Deformable-DETR/IDOL convention
+    (idol/models/position_encoding.py:45 ``cumsum - 0.5``); 1.0 reproduces the
+    Mask2Former convention (mask2former .../position_encoding.py:33-38, plain
+    ``cumsum`` with no shift).
     """
     scale = 2 * math.pi
     eps = 1e-6
     b = valid_hw.shape[0]
-    ys = jnp.arange(feat_h, dtype=jnp.float32) + 0.5  # cumsum(y)-0.5 = y+0.5
-    xs = jnp.arange(feat_w, dtype=jnp.float32) + 0.5
+    ys = jnp.arange(feat_h, dtype=jnp.float32) + offset  # cumsum(y) - (1-offset)
+    xs = jnp.arange(feat_w, dtype=jnp.float32) + offset
     vh = valid_hw[:, 0].astype(jnp.float32)[:, None]  # [B, 1]
     vw = valid_hw[:, 1].astype(jnp.float32)[:, None]
     y_embed = ys[None, :] / (vh + eps) * scale  # [B, H]
