@@ -12,7 +12,7 @@ import jax.numpy as jnp
 import pytest
 
 from vnext_tpu.ops.ms_deform_attn import ms_deform_attn_core_jnp
-from vnext_tpu.ops.ms_deform_attn_pallas_v7 import ms_deform_attn_pallas_v7
+from vnext_tpu.ops.attic.ms_deform_attn_pallas_v7 import ms_deform_attn_pallas_v7
 
 SHAPES = ((12, 16), (6, 8), (3, 4), (2, 2))
 S = sum(h * w for h, w in SHAPES)

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import pytest
 
 from vnext_tpu.ops.ms_deform_attn import ms_deform_attn_core_jnp
-from vnext_tpu.ops.ms_deform_attn_pallas_v8 import ms_deform_attn_pallas_v8
+from vnext_tpu.ops.attic.ms_deform_attn_pallas_v8 import ms_deform_attn_pallas_v8
 
 # all four levels lane-packable (w <= 62)
 SHAPES_SMALL = ((12, 16), (6, 8), (3, 4), (2, 2))

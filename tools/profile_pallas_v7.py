@@ -12,7 +12,7 @@ sys.path.insert(0, os.path.dirname(__file__))
 from profile_pallas import make_locs, SHAPES, M, D, P, L, T
 
 from vnext_tpu.ops.ms_deform_attn import ms_deform_attn_core_jnp
-from vnext_tpu.ops.ms_deform_attn_pallas_v7 import ms_deform_attn_pallas_v7
+from vnext_tpu.ops.attic.ms_deform_attn_pallas_v7 import ms_deform_attn_pallas_v7
 
 
 def main():

@@ -17,7 +17,7 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 sys.path.insert(0, "tools")
 from profile_pallas import SHAPES, M, D, P, L, T
-from vnext_tpu.ops.ms_deform_attn_pallas_v8 import ms_deform_attn_pallas_v8
+from vnext_tpu.ops.attic.ms_deform_attn_pallas_v8 import ms_deform_attn_pallas_v8
 rng = np.random.RandomState(0)
 S = sum(h * w for h, w in SHAPES)
 val = jnp.asarray(rng.randn(T, S, M, D), jnp.bfloat16)

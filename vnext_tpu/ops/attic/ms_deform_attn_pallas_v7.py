@@ -297,7 +297,7 @@ def _fwd(value, spatial_shapes, sampling_locations, attention_weights):
 
 
 def _bwd(spatial_shapes, residuals, g):
-    from .ms_deform_attn_pallas import _bwd as _bwd_v6
+    from ..ms_deform_attn_pallas import _bwd as _bwd_v6
 
     return _bwd_v6(spatial_shapes, residuals, g)
 

@@ -290,13 +290,13 @@ def ms_deform_attn(
 
         return ms_deform_attn_pallas(value, spatial_shapes, sampling_locations, attention_weights)
     if impl == "pallas_v7":
-        from .ms_deform_attn_pallas_v7 import ms_deform_attn_pallas_v7
+        from .attic.ms_deform_attn_pallas_v7 import ms_deform_attn_pallas_v7
 
         return ms_deform_attn_pallas_v7(
             value, spatial_shapes, sampling_locations, attention_weights
         )
     if impl == "pallas_v8":
-        from .ms_deform_attn_pallas_v8 import ms_deform_attn_pallas_v8
+        from .attic.ms_deform_attn_pallas_v8 import ms_deform_attn_pallas_v8
 
         return ms_deform_attn_pallas_v8(
             value, spatial_shapes, sampling_locations, attention_weights
@@ -308,38 +308,30 @@ def ms_deform_attn(
             value, spatial_shapes, sampling_locations, attention_weights
         )
     if impl == "auto" and jax.default_backend() == "tpu":
-        # 'auto' on TPU: v9 (v8's point-group spans + lane-packed small
-        # levels, with whole-level VMEM residency replacing per-chunk DMAs —
-        # 13.2 -> 9.2 ms/encoder-layer at eval shapes on real sampling
-        # distributions) for encoder-scale query counts; v7 for the small-Q
-        # decoder, whose scattered references make per-group chunking pay the
-        # full-height span several times over. Decoder queries are
-        # additionally sorted by mean sampling row so each query tile touches
-        # a band instead of the full height (~25% fewer executed chunk rows);
-        # the output is inverse-permuted back.
+        # 'auto' on TPU: v9 at every query scale. It won the on-device sweeps
+        # at encoder scale (whole-level VMEM residency + point-group spans +
+        # lane-packed small levels; docs/ROUND3.md "Final on-device sweep"),
+        # at decoder scale (1.31 ms/layer vs 2.40 for v7+row-sort at Q=300),
+        # and in the train step (331 vs 357 ms/iter vs v7 forward, shared v6
+        # backward; round-4 A/B). v7/v8 live in ops/attic/ for ablations —
+        # VNEXT_MSDA_V9=0 routes there explicitly.
         import os
 
-        q = sampling_locations.shape[1]
-        use_v9 = os.environ.get("VNEXT_MSDA_V9", "1") == "1"
-        use_v8 = os.environ.get("VNEXT_MSDA_V8", "0") == "1" and q >= 2048
-        if use_v9 and not use_v8:
-            # v9 wins at decoder scale too (1.79 vs 2.40 ms for v7+sort at
-            # Q=300, B*M=80, real decoder sampling distributions): the
-            # VMEM-resident planes amortize and sorting is not worth its
-            # gather cost there
+        if os.environ.get("VNEXT_MSDA_V9", "1") == "1":
             from .ms_deform_attn_pallas_v9 import ms_deform_attn_pallas_v9
 
             return ms_deform_attn_pallas_v9(
                 value, spatial_shapes, sampling_locations, attention_weights
             )
-        if use_v8:
-            from .ms_deform_attn_pallas_v8 import ms_deform_attn_pallas_v8
+        if os.environ.get("VNEXT_MSDA_V8", "0") == "1":
+            from .attic.ms_deform_attn_pallas_v8 import ms_deform_attn_pallas_v8
 
             return ms_deform_attn_pallas_v8(
                 value, spatial_shapes, sampling_locations, attention_weights
             )
-        from .ms_deform_attn_pallas_v7 import ms_deform_attn_pallas_v7
+        from .attic.ms_deform_attn_pallas_v7 import ms_deform_attn_pallas_v7
 
+        q = sampling_locations.shape[1]
         if q <= 1024 and os.environ.get("VNEXT_MSDA_SORT", "1") == "1":
             loc_s, attn_s, inv = sort_queries_by_row(
                 sampling_locations, attention_weights

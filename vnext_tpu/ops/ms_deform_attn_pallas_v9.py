@@ -37,7 +37,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .ms_deform_attn_pallas_v8 import _LevelMeta, _group_schedule, _pack_level
+from .msda_schedule import _LevelMeta, _group_schedule, _pack_level
 
 Array = jnp.ndarray
 
