@@ -1,4 +1,5 @@
 #!/bin/bash -e
+set -e
 # Full test sweep (the reference's CI-equivalent): entire pytest suite on the
 # simulated 8-device CPU mesh + the multi-chip SPMD dryrun. ~40 min on CPU.
 

@@ -1,4 +1,5 @@
 #!/bin/bash -e
+set -e
 # Inference smoke test (reference surface: dev/run_inference_tests.sh): runs the
 # full IDOL video-inference pipeline (clip batching, tracker, evaluator, RLE)
 # on synthetic data and checks the output structure.

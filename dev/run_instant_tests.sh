@@ -1,4 +1,5 @@
 #!/bin/bash -e
+set -e
 # Quick-schedule smoke tests (reference surface: dev/run_instant_tests.sh):
 # the fast pytest subset (ops oracles, structures, config, data, evaluators)
 # PLUS one tiny end-to-end train+eval from a quick-schedule yaml with

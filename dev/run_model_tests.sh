@@ -1,4 +1,5 @@
 #!/bin/bash -e
+set -e
 # Mid-tier model e2e signal (~5 min): image meta-arch unit tests + the
 # flagship IDOL whole-video eval path from a quick-schedule yaml.
 

@@ -173,7 +173,11 @@ class ResNet(nn.Module):
     def __call__(self, x: Array) -> Dict[str, Array]:
         blocks = _DEPTH_TO_BLOCKS[self.depth]
 
-        # stem
+        # stem. NOTE (round-4 perf audit): the 7x7/s2 C_in=3 conv is ~8 of the
+        # backbone's ~19 ms at 480x864 T=10 (7% MXU), but the MLPerf-style
+        # space-to-depth rewrite measured SLOWER on-device (10.3 ms vs 8.2 —
+        # the 50 MB minor-dim-3 input relayout costs more than XLA's own
+        # handling of the 3-channel conv saves), so the direct form stays.
         x = nn.Conv(
             64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], use_bias=False,
             dtype=self.dtype, name="conv1",
