@@ -36,7 +36,7 @@ DEC_LAYERS = 9   # reference cfg DEC_LAYERS=10 minus 1 (from_config :354)
 QUERIES = 100
 CLASSES = 25
 MASK_DIM = 256
-SHAPES = [(16, 24), (8, 12), (4, 6)]   # strides 8/16/32
+SHAPES = [(4, 6), (8, 12), (16, 24)]   # coarsest first (res5, res4, res3), reference top-down order
 MASK_HW = (32, 48)                     # stride 4
 
 

@@ -312,6 +312,53 @@ def convert_mask2former_decoder(
     return out
 
 
+def convert_minvis_checkpoint(
+    sd: Dict[str, np.ndarray],
+    enc_layers: int = 6,
+    dec_layers: int = 9,
+) -> Dict[Tuple[str, ...], np.ndarray]:
+    """Map a MinVIS/Mask2Former checkpoint (the reference release format:
+    ``backbone.`` d2-ResNet + ``sem_seg_head.pixel_decoder.`` MSDeformAttn
+    pixel decoder + ``sem_seg_head.predictor.`` masked-attention decoder) to
+    our MaskFormer param tree."""
+    out: Dict[Tuple[str, ...], np.ndarray] = {}
+    sd = {re.sub(r"^(module\.)", "", k): v for k, v in sd.items()}
+
+    convert_d2_resnet(sd, src_prefix="backbone.", dst_prefix=("backbone",), out=out)
+
+    pd = "sem_seg_head.pixel_decoder"
+    if f"{pd}.transformer.level_embed" in sd:
+        out[("pixel_decoder", "level_embed")] = sd[f"{pd}.transformer.level_embed"]
+    for i in range(3):  # input_proj order = reference top-down (res5 first)
+        _conv(f"{pd}.input_proj.{i}.0", ("pixel_decoder", f"input_proj_{i}"), sd, out)
+        _norm(f"{pd}.input_proj.{i}.1", ("pixel_decoder", f"input_norm_{i}"), sd, out)
+    for i in range(enc_layers):
+        pre = f"{pd}.transformer.encoder.layers.{i}"
+        tgt = ("pixel_decoder", f"encoder_{i}")
+        for mod in ("sampling_offsets", "attention_weights", "value_proj", "output_proj"):
+            _linear(f"{pre}.self_attn.{mod}", tgt + ("self_attn", mod), sd, out)
+        _norm(f"{pre}.norm1", tgt + ("norm1",), sd, out)
+        _norm(f"{pre}.norm2", tgt + ("norm2",), sd, out)
+        _linear(f"{pre}.linear1", tgt + ("linear1",), sd, out)
+        _linear(f"{pre}.linear2", tgt + ("linear2",), sd, out)
+    _conv(f"{pd}.adapter_1", ("pixel_decoder", "adapter_res2"), sd, out)
+    _norm(f"{pd}.adapter_1.norm", ("pixel_decoder", "adapter_norm"), sd, out)
+    _conv(f"{pd}.layer_1", ("pixel_decoder", "output_conv"), sd, out)
+    _norm(f"{pd}.layer_1.norm", ("pixel_decoder", "output_norm"), sd, out)
+    _conv(f"{pd}.mask_features", ("pixel_decoder", "mask_features"), sd, out)
+
+    pred = {
+        k[len("sem_seg_head.predictor.") :]: v
+        for k, v in sd.items()
+        if k.startswith("sem_seg_head.predictor.")
+    }
+    out.update(
+        convert_mask2former_decoder(pred, dec_layers=dec_layers,
+                                    prefix=("transformer_decoder",))
+    )
+    return out
+
+
 def apply_to_params(flat: Dict[Tuple[str, ...], np.ndarray], params) -> Tuple[Any, Dict]:
     """Write converted arrays into a flax params tree, verifying shapes.
 

@@ -60,7 +60,11 @@ class MSDeformAttnPixelDecoder(nn.Module):
         multi_scale [3 x [B,h,w,C]])."""
         b = feats["res2"].shape[0]
         srcs, poses = [], []
-        for lvl, name in enumerate(("res3", "res4", "res5")):
+        # coarsest-first, mirroring the reference's top-down reversal
+        # (msdeformattn.py:319 ``transformer_in_features[::-1]``): input_proj_0
+        # and level_embed[0] belong to res5, and the decoder's level rotation
+        # starts at stride 32 — real-checkpoint parity depends on this order
+        for lvl, name in enumerate(("res5", "res4", "res3")):
             src = nn.Conv(self.hidden_dim, (1, 1), dtype=self.dtype, name=f"input_proj_{lvl}")(
                 feats[name]
             )
@@ -125,15 +129,19 @@ class MSDeformAttnPixelDecoder(nn.Module):
             start += h * w
 
         # FPN fusion down to stride 4 (reference msdeformattn.py lateral+output convs)
-        lateral = nn.Conv(self.hidden_dim, (1, 1), dtype=self.dtype, name="adapter_res2")(
-            feats["res2"]
-        )
+        # reference lateral/output convs carry GN, hence bias=False (d2 Conv2d
+        # sets use_bias = norm is None; msdeformattn.py:265-281)
+        lateral = nn.Conv(
+            self.hidden_dim, (1, 1), use_bias=False, dtype=self.dtype,
+            name="adapter_res2",
+        )(feats["res2"])
         lateral = nn.GroupNorm(num_groups=32, dtype=self.dtype, name="adapter_norm")(lateral)
         up = resize_bilinear(
-            outs[0].transpose(0, 3, 1, 2), lateral.shape[1], lateral.shape[2]
+            outs[-1].transpose(0, 3, 1, 2), lateral.shape[1], lateral.shape[2]
         ).transpose(0, 2, 3, 1).astype(self.dtype)
         y = lateral + up
-        y = nn.Conv(self.hidden_dim, (3, 3), padding="SAME", dtype=self.dtype, name="output_conv")(y)
+        y = nn.Conv(self.hidden_dim, (3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype, name="output_conv")(y)
         y = nn.relu(nn.GroupNorm(num_groups=32, dtype=self.dtype, name="output_norm")(y))
         mask_features = nn.Conv(self.mask_dim, (1, 1), dtype=self.dtype, name="mask_features")(y)
         return mask_features, outs
