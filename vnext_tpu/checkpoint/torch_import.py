@@ -312,6 +312,50 @@ def convert_mask2former_decoder(
     return out
 
 
+def convert_seqformer_checkpoint(
+    sd: Dict[str, np.ndarray],
+    dec_layers: int = 6,
+    enc_layers: int = 6,
+    num_feature_levels: int = 4,
+) -> Dict[Tuple[str, ...], np.ndarray]:
+    """Map a full SeqFormer state_dict (meta-arch layout: detr = CondInst_segm
+    wrapping the seqformer DeformableDETR) to our SeqFormer param tree.
+    Same skeleton as convert_idol_checkpoint minus the ReID head, with the
+    dual-query transformer handled by convert_seqformer_transformer."""
+    out: Dict[Tuple[str, ...], np.ndarray] = {}
+    sd = {re.sub(r"^(module\.)", "", k): v for k, v in sd.items()}
+
+    bb = "detr.detr.backbone.0.backbone"
+    if f"{bb}.patch_embed.proj.weight" in sd:
+        _convert_swin_backbone(bb, sd, out)
+    else:
+        convert_d2_resnet(sd, src_prefix=bb + ".", dst_prefix=("backbone",), out=out)
+
+    for i in range(num_feature_levels):
+        _conv(f"detr.detr.input_proj.{i}.0", (f"input_proj_{i}", "conv"), sd, out)
+        _norm(f"detr.detr.input_proj.{i}.1", (f"input_proj_{i}", "norm"), sd, out)
+
+    t = "detr.detr.transformer."
+    sub = {k[len(t):]: v for k, v in sd.items() if k.startswith(t)}
+    out.update(
+        convert_seqformer_transformer(
+            sub, enc_layers=enc_layers, dec_layers=dec_layers, prefix=("transformer",)
+        )
+    )
+    # box refinement MLPs may appear only under detr.detr.bbox_embed (they are
+    # the same modules the decoder holds; either alias works)
+    for i in range(dec_layers):
+        if ("transformer", f"bbox_embed_{i}", "layers_0", "kernel") not in out:
+            _mlp(f"detr.detr.bbox_embed.{i}", ("transformer", f"bbox_embed_{i}"), sd, out)
+        _linear(f"detr.detr.class_embed.{i}", (f"class_embed_{i}",), sd, out)
+    if "detr.detr.query_embed.weight" in sd:
+        out[("query_embed",)] = sd["detr.detr.query_embed.weight"]
+    _mlp("detr.controller", ("controller",), sd, out)
+    for lay in ("lay1", "lay2", "lay3", "lay4", "dcn"):
+        _conv(f"detr.mask_head.{lay}", ("mask_head", lay), sd, out)
+    return out
+
+
 def convert_minvis_checkpoint(
     sd: Dict[str, np.ndarray],
     enc_layers: int = 6,
