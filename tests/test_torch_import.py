@@ -158,3 +158,19 @@ def test_import_roundtrip_exact():
         np.testing.assert_array_equal(new_flat[path], arr, err_msg=str(path))
     assert report["matched"] == len(fresh)
     assert len(report["missing"]) == 0, report["missing"][:10]
+
+
+def test_checkpoint_family_detection():
+    """load_reference_weights routes each release format to its converter."""
+    from vnext_tpu.checkpoint.torch_import import detect_checkpoint_family
+
+    minvis = {"backbone.stem.conv1.weight": None,
+              "sem_seg_head.pixel_decoder.transformer.level_embed": None,
+              "sem_seg_head.predictor.query_feat.weight": None}
+    seqformer = {"detr.detr.transformer.decoder.layers.0.cross_attn.output_proj_box.weight": None,
+                 "detr.detr.transformer.level_embed": None}
+    idol = {"detr.detr.transformer.decoder.layers.0.cross_attn.output_proj.weight": None,
+            "detr.reid_embed_head.layers.0.weight": None}
+    assert detect_checkpoint_family(minvis) == "minvis"
+    assert detect_checkpoint_family(seqformer) == "seqformer"
+    assert detect_checkpoint_family(idol) == "idol"

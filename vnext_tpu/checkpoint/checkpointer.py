@@ -81,9 +81,9 @@ class Checkpointer:
 def load_weights(path: str, params_template: Any):
     """Load model weights from an orbax dir or a reference .pth file."""
     if path.endswith((".pth", ".pkl", ".pt")):
-        from .torch_import import load_idol_weights
+        from .torch_import import load_reference_weights
 
-        new_params, report = load_idol_weights(path, params_template)
+        new_params, report = load_reference_weights(path, params_template)
         logger.info(
             "Imported torch weights: %d matched, %d missing, %d unused, %d shape-mismatched",
             report["matched"], len(report["missing"]), len(report["unused"]),

@@ -458,3 +458,32 @@ def load_idol_weights(path: str, params, **kwargs):
     sd = load_torch_state_dict(path)
     flat = convert_idol_checkpoint(sd, **kwargs)
     return apply_to_params(flat, params)
+
+
+def detect_checkpoint_family(sd: Dict[str, np.ndarray]) -> str:
+    """Sniff which reference release format a state_dict is.
+
+    'minvis'    — MinVIS/Mask2Former (sem_seg_head.pixel_decoder./predictor.)
+    'seqformer' — SeqFormer (dual-output cross attention: output_proj_box)
+    'idol'      — IDOL / plain Deformable-DETR+CondInst layout
+    """
+    keys = sd.keys()
+    if any(k.startswith("sem_seg_head.") for k in keys):
+        return "minvis"
+    if any(".cross_attn.output_proj_box." in k for k in keys):
+        return "seqformer"
+    return "idol"
+
+
+def load_reference_weights(path: str, params, **kwargs):
+    """One-call import with family auto-detection (checkpointer entry point)."""
+    sd = load_torch_state_dict(path)
+    family = detect_checkpoint_family(sd)
+    converter = {
+        "minvis": convert_minvis_checkpoint,
+        "seqformer": convert_seqformer_checkpoint,
+        "idol": convert_idol_checkpoint,
+    }[family]
+    logger.info("Importing %s-format reference checkpoint from %s", family, path)
+    flat = converter(sd, **kwargs)
+    return apply_to_params(flat, params)
