@@ -24,7 +24,42 @@ logger = logging.getLogger("vnext_tpu")
 
 
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
-    """Load a .pth file into numpy arrays (no CUDA required)."""
+    """Load a .pth/.pt/.pkl checkpoint into a numpy state_dict.
+
+    ``.pkl`` files are the detectron2 model-zoo format
+    (detectron2/checkpoint/detection_checkpoint.py:59 _load_file): a PLAIN
+    pickle — not a torch.save archive — holding either
+      * ``{"model": {...}, "__author__": "torchvision"/"detectron2", ...}``
+        with detectron2-style names already, or
+      * a Caffe2/Detectron1 blob dict (optionally under ``"blobs"``) with
+        c2 names (``res2_0_branch2a_w`` / ``res_conv1_bn_s`` / ``conv1_w``),
+        which are remapped to detectron2 names here (reference algorithm:
+        c2_model_loading.py:10 convert_basic_c2_names).
+    Note: the MSRA caffe2 ImageNet models are BGR-trained; the reference
+    handles that via ``INPUT.FORMAT: "BGR"`` in the config (never by
+    flipping conv weights), and so do we.
+    """
+    if path.endswith(".pkl"):
+        import pickle
+
+        with open(path, "rb") as f:
+            data = pickle.load(f, encoding="latin1")
+        if isinstance(data, dict) and "model" in data and "__author__" in data:
+            logger.info("Reading a .pkl file from '%s'", data["__author__"])
+            sd = data["model"]
+            caffe2 = data["__author__"] == "Caffe2"
+        else:
+            # Caffe2 / Detectron1 zoo: detection models nest under "blobs",
+            # ImageNet classification models are a flat blob dict
+            if isinstance(data, dict) and "blobs" in data:
+                data = data["blobs"]
+            sd = {k: v for k, v in data.items() if not k.endswith("_momentum")}
+            caffe2 = True
+        sd = {k: np.asarray(v) for k, v in sd.items()
+              if isinstance(v, np.ndarray) or np.isscalar(v)
+              or hasattr(v, "__array__")}
+        return convert_c2_names(sd) if caffe2 else sd
+
     import torch
 
     blob = torch.load(path, map_location="cpu", weights_only=False)
@@ -34,6 +69,58 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
         blob = blob["state_dict"]
     return {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
             for k, v in blob.items()}
+
+
+def convert_c2_names(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Rename Caffe2/Detectron1 blob names to detectron2 state-dict names.
+
+    Covers the backbone families the caffe2 zoo ships (ResNet stems/blocks,
+    GN/BN affine params, FPN laterals) — behaviorally matching the reference's
+    convert_basic_c2_names + the FPN branch of convert_c2_detectron_names
+    (c2_model_loading.py:10,130). Caffe2 BNs are inference-folded (scale/bias
+    only, no running stats); FrozenBatchNorm's running_mean/var default to
+    0/1, matching FrozenBatchNorm2d._load_from_state_dict (batch_norm.py:67).
+    """
+    out = {}
+    for orig in sorted(sd):
+        k = orig.replace("_", ".")
+        # parameter-kind suffixes
+        for pat, rep in (
+            (r"\.b$", ".bias"), (r"\.w$", ".weight"),
+            (r"\.bn\.s$", ".norm.weight"), (r"\.bn\.bias$", ".norm.bias"),
+            (r"\.bn\.rm$", ".norm.running_mean"),
+            (r"\.bn\.running\.mean$", ".norm.running_mean"),
+            (r"\.bn\.riv$", ".norm.running_var"),
+            (r"\.bn\.running\.var$", ".norm.running_var"),
+            (r"\.bn\.gamma$", ".norm.weight"), (r"\.bn\.beta$", ".norm.bias"),
+            (r"\.gn\.s$", ".norm.weight"), (r"\.gn\.bias$", ".norm.bias"),
+        ):
+            k = re.sub(pat, rep, k)
+        # the stem: "res.conv1.norm.*" / bare "conv1.*" -> "stem.conv1.*"
+        k = re.sub(r"^res\.conv1\.norm\.", "conv1.norm.", k)
+        k = re.sub(r"^conv1\.", "stem.conv1.", k)
+        # residual branches -> d2 block conv names
+        k = (k.replace(".branch1.", ".shortcut.")
+              .replace(".branch2a.", ".conv1.")
+              .replace(".branch2b.", ".conv2.")
+              .replace(".branch2c.", ".conv3."))
+        # FPN: fpn.inner.resN.*.sum.lateral -> fpn_lateralN; fpn.resN.*.sum -> fpn_outputN
+        if k.startswith("fpn.inner.res") or k.startswith("fpn.res"):
+            parts = k.split(".")
+            norm = ".norm" if "norm" in parts else ""
+            stage = parts[2][3:] if parts[1] == "inner" else parts[1][3:]
+            kind = "lateral" if parts[1] == "inner" else "output"
+            k = f"fpn_{kind}{stage}{norm}.{parts[-1]}"
+        out[k] = sd[orig]
+    # caffe2 BNs are folded: synthesize identity running stats so FrozenBN
+    # imports cleanly (same values _load_from_state_dict would default to)
+    for k in list(out):
+        if k.endswith(".norm.weight"):
+            stem = k[: -len("weight")]
+            if stem + "running_mean" not in out:
+                out[stem + "running_mean"] = np.zeros_like(out[k])
+                out[stem + "running_var"] = np.ones_like(out[k])
+    return out
 
 
 def _linear(key_prefix: str, out_prefix: Tuple[str, ...], sd, out):
@@ -460,30 +547,61 @@ def load_idol_weights(path: str, params, **kwargs):
     return apply_to_params(flat, params)
 
 
+def convert_d2_backbone_checkpoint(
+    sd: Dict[str, np.ndarray],
+) -> Dict[Tuple[str, ...], np.ndarray]:
+    """Backbone-only d2-name checkpoint (ImageNet inits: torchvision-converted
+    or caffe2-renamed pkl) -> flax paths under ("backbone",)."""
+    sd = {re.sub(r"^module\.", "", k): v for k, v in sd.items()}
+    return convert_d2_resnet(sd, src_prefix="", dst_prefix=("backbone",))
+
+
 def detect_checkpoint_family(sd: Dict[str, np.ndarray]) -> str:
     """Sniff which reference release format a state_dict is.
 
-    'minvis'    — MinVIS/Mask2Former (sem_seg_head.pixel_decoder./predictor.)
-    'seqformer' — SeqFormer (dual-output cross attention: output_proj_box)
-    'idol'      — IDOL / plain Deformable-DETR+CondInst layout
+    'minvis'      — MinVIS/Mask2Former (sem_seg_head.pixel_decoder./predictor.)
+    'seqformer'   — SeqFormer (dual-output cross attention: output_proj_box)
+    'd2_backbone' — backbone-only ImageNet init (d2 names: stem.conv1.*)
+    'idol'        — IDOL / plain Deformable-DETR+CondInst layout
     """
-    keys = sd.keys()
+    # wrapper prefixes (DDP 'module.') must not defeat the sniffing
+    keys = {re.sub(r"^module\.", "", k) for k in sd.keys()}
     if any(k.startswith("sem_seg_head.") for k in keys):
         return "minvis"
     if any(".cross_attn.output_proj_box." in k for k in keys):
         return "seqformer"
+    if "stem.conv1.weight" in keys:
+        return "d2_backbone"
     return "idol"
 
 
 def load_reference_weights(path: str, params, **kwargs):
     """One-call import with family auto-detection (checkpointer entry point)."""
+    import inspect
+
     sd = load_torch_state_dict(path)
     family = detect_checkpoint_family(sd)
     converter = {
         "minvis": convert_minvis_checkpoint,
         "seqformer": convert_seqformer_checkpoint,
         "idol": convert_idol_checkpoint,
+        "d2_backbone": convert_d2_backbone_checkpoint,
     }[family]
+    # kwargs are family-specific (e.g. num_feature_levels); auto-detection may
+    # pick a converter with a different signature — pass only what it accepts
+    accepted = set(inspect.signature(converter).parameters)
+    passed = {k: v for k, v in kwargs.items() if k in accepted}
+    if len(passed) != len(kwargs):
+        logger.warning(
+            "torch import: dropping kwargs %s not accepted by the %s converter",
+            sorted(set(kwargs) - set(passed)), family,
+        )
     logger.info("Importing %s-format reference checkpoint from %s", family, path)
-    flat = converter(sd, **kwargs)
-    return apply_to_params(flat, params)
+    flat = converter(sd, **passed)
+    new_params, report = apply_to_params(flat, params)
+    if report["matched"] == 0:
+        raise ValueError(
+            f"Reference checkpoint {path} (detected family: {family}) matched 0 "
+            "parameters — refusing to proceed with effectively random weights."
+        )
+    return new_params, report

@@ -55,7 +55,13 @@ def verify_final_loss(cfg, trainer) -> bool:
     # smoothing-window median (the value CommonMetricPrinter logs): a single
     # raw iteration's loss on a 3-iter quick schedule can spike ~5x while the
     # run is healthy; a corrupted model diverges in the median just the same
-    final = storage.history("total_loss").median(20)
+    hist = storage.history("total_loss")
+    final = hist.median(20)
+    latest = hist.latest()
+    # the raw last iteration must itself be finite: a median over a mostly-
+    # healthy window would otherwise mask a trailing divergence/NaN
+    if not np.isfinite(latest):
+        raise AssertionError(f"Final raw total_loss is non-finite: {latest}")
     if not np.isfinite(final) or final > bound:
         raise AssertionError(
             f"Final total_loss {final} violates TEST.FINAL_LOSS_BOUND {bound}"

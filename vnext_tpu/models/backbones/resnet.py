@@ -143,6 +143,27 @@ class BasicBlock(nn.Module):
         return nn.relu(out + identity)
 
 
+class _StemConvParams(nn.Module):
+    """Declares the stem conv kernel with nn.Conv's exact name + init, for the
+    Pallas-stem branch (which consumes the kernel directly)."""
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(), (7, 7, 3, 64))
+
+
+class _StemBNParams(nn.Module):
+    """Declares FrozenBatchNorm's param tree for the Pallas-stem branch."""
+
+    @nn.compact
+    def __call__(self):
+        w = self.param("weight", nn.initializers.ones, (64,))
+        b = self.param("bias", nn.initializers.zeros, (64,))
+        m = self.param("running_mean", nn.initializers.zeros, (64,))
+        v = self.param("running_var", nn.initializers.ones, (64,))
+        return w, b, m, v
+
+
 class ResNet(nn.Module):
     """ResNet-{18,34,50,101,152} trunk producing res2..res5 (NHWC)."""
 
@@ -169,21 +190,52 @@ class ResNet(nn.Module):
             return {"res2": 64, "res3": 128, "res4": 256, "res5": 512}
         return {"res2": 256, "res3": 512, "res4": 1024, "res5": 2048}
 
+    def _pallas_stem_enabled(self, x: Array) -> bool:
+        """Fused Pallas stem (ops/stem_conv.py): on for even-sized TPU inputs
+        unless VNEXT_PALLAS_STEM=0. On-device A/B (tools/exp_stem.py, 480x864
+        T=10): 1.85 ms vs 4.84 XLA conv+bn+relu — the C_in=3 conv runs ~3% MXU
+        under XLA's 128-lane channel padding; the banded-patch kernel executes
+        336 reduction terms/pixel instead of 6272."""
+        import os
+
+        flag = os.environ.get("VNEXT_PALLAS_STEM", "auto")
+        if flag == "0":
+            return False
+        h, w = x.shape[1], x.shape[2]
+        ok = x.shape[-1] == 3 and h % 2 == 0 and w % 2 == 0
+        if flag == "1":
+            return ok
+        return ok and jax.default_backend() == "tpu" and self.dtype == jnp.bfloat16
+
     @nn.compact
     def __call__(self, x: Array) -> Dict[str, Array]:
         blocks = _DEPTH_TO_BLOCKS[self.depth]
 
         # stem. NOTE (round-4 perf audit): the 7x7/s2 C_in=3 conv is ~8 of the
-        # backbone's ~19 ms at 480x864 T=10 (7% MXU), but the MLPerf-style
-        # space-to-depth rewrite measured SLOWER on-device (10.3 ms vs 8.2 —
-        # the 50 MB minor-dim-3 input relayout costs more than XLA's own
-        # handling of the 3-channel conv saves), so the direct form stays.
-        x = nn.Conv(
-            64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], use_bias=False,
-            dtype=self.dtype, name="conv1",
-        )(x)
-        x = FrozenBatchNorm(64, dtype=self.dtype, name="bn1")(x)
-        x = nn.relu(x)
+        # backbone's ~19 ms at 480x864 T=10 (7% MXU) under XLA; the MLPerf
+        # space-to-depth rewrite measured SLOWER (10.3 vs 8.2 ms), so the fast
+        # path is the fused Pallas stem below; XLA's direct conv is the
+        # fallback (odd sizes, non-TPU, VNEXT_PALLAS_STEM=0).
+        if self._pallas_stem_enabled(x):
+            from ...ops.stem_conv import stem_conv7x7s2_bn_relu
+
+            # declare the SAME param tree as the XLA branch (conv1/kernel,
+            # bn1/{weight,bias,running_mean,running_var}) so checkpoints are
+            # path-compatible either way, then run the fused kernel
+            kernel = _StemConvParams(name="conv1")()
+            w_, b_, mean, var = _StemBNParams(name="bn1")()
+            inv = w_ * jax.lax.rsqrt(var + 1e-5)
+            x = stem_conv7x7s2_bn_relu(
+                x, jnp.asarray(kernel, self.dtype), inv, b_ - mean * inv,
+                interpret=jax.default_backend() != "tpu",
+            ).astype(self.dtype)
+        else:
+            x = nn.Conv(
+                64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], use_bias=False,
+                dtype=self.dtype, name="conv1",
+            )(x)
+            x = FrozenBatchNorm(64, dtype=self.dtype, name="bn1")(x)
+            x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
         outputs = {}
