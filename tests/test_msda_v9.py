@@ -229,3 +229,44 @@ def test_cm_fused_dispatch_fallback_matches():
     np.testing.assert_allclose(
         np.asarray(jnp.swapaxes(out, 1, 2)), np.asarray(expected), atol=1e-5
     )
+
+
+@pytest.mark.parametrize("ksched", ["0", "1"])
+def test_v9_cm_fused_logits_in_kernel_softmax(ksched, monkeypatch):
+    """attn_is_logits=True (in-kernel softmax over (L,P)) == XLA-softmaxed
+    weights through the same kernel, with both in-kernel and scalar-prefetch
+    schedules (VNEXT_MSDA_KSCHED)."""
+    from vnext_tpu.ops.ms_deform_attn_pallas_v9 import ms_deform_attn_pallas_v9_cm_fused
+
+    monkeypatch.setenv("VNEXT_MSDA_KSCHED", ksched)
+    rng = np.random.RandomState(13)
+    shapes = SHAPES_MIXED
+    s = sum(h * w for h, w in shapes)
+    l = len(shapes)
+    val = jnp.asarray(rng.randn(B, s, M, D), jnp.float32)
+    ref_pts = jnp.asarray(rng.rand(B, s, l, 2), jnp.float32)
+    off = jnp.asarray(rng.randn(B, s, M, l, P, 2) * 3.0, jnp.bfloat16)
+    logits = jnp.asarray(rng.randn(B, s, M, l, P), jnp.float32)
+    weights = jax.nn.softmax(logits.reshape(B, s, M, l * P), axis=-1).reshape(
+        B, s, M, l, P
+    )
+
+    valT = jnp.swapaxes(val.reshape(B, s, M * D), 1, 2)
+    off_cm = jnp.moveaxis(off, 1, 5)
+    ref_cm = jnp.moveaxis(ref_pts, 1, 3)
+    out_w = ms_deform_attn_pallas_v9_cm_fused(
+        valT, shapes, off_cm, ref_cm, jnp.moveaxis(weights, 1, 4)
+    )
+    out_l = ms_deform_attn_pallas_v9_cm_fused(
+        valT, shapes, off_cm, ref_cm, jnp.moveaxis(logits, 1, 4),
+        attn_is_logits=True,
+    )
+    np.testing.assert_allclose(np.asarray(out_l), np.asarray(out_w), atol=2e-4)
+
+    # and against the oracle on the same materialized locations
+    wh = jnp.asarray([[w, h] for h, w in shapes], jnp.float32)
+    loc = ref_pts[:, :, None, :, None] + off.astype(jnp.float32) / wh[None, None, None, :, None]
+    expected = ms_deform_attn_core_jnp(val, shapes, loc, weights)
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(out_l, 1, 2)), np.asarray(expected), atol=2e-4
+    )

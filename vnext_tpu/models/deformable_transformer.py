@@ -99,20 +99,25 @@ class MSDeformAttnModule(nn.Module):
 
             offsets = offsets_proj(query, channel_major=True)     # [B, MLP2, S]
             attn = attn_proj(query, channel_major=True)           # [B, MLP, S]
-            attn = attn.reshape(b, m, l * p, s)
-            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=2).astype(self.dtype)
-            attn = attn.reshape(b, m, l, p, s)
             ref = reference_points.astype(jnp.float32)            # [B, L, 2, S]
 
             import os
             if os.environ.get("VNEXT_MSDA_FUSED", "1") == "1":
                 # raw offsets stay in the compute dtype; the kernel forms the
                 # pixel locations in VMEM (no [B,M,L,P,2,S] f32 materialization)
+                # and softmaxes the raw attention logits over (L, P) in VMEM
                 off_cm = offsets.reshape(b, m, l, p, 2, s)
                 out = ms_deform_attn_cm_fused(
-                    valueT, spatial_shapes, off_cm, ref, attn, impl=self.impl
+                    valueT, spatial_shapes, off_cm, ref,
+                    attn.reshape(b, m, l, p, s), impl=self.impl,
+                    attn_is_logits=True,
                 )
             else:
+                attn = attn.reshape(b, m, l * p, s)
+                attn = jax.nn.softmax(
+                    attn.astype(jnp.float32), axis=2
+                ).astype(self.dtype)
+                attn = attn.reshape(b, m, l, p, s)
                 offsets = offsets.reshape(b, m, l, p, 2, s).astype(jnp.float32)
                 wh = jnp.asarray([[w, h] for h, w in spatial_shapes], dtype=jnp.float32)
                 loc = ref[:, None, :, None] + offsets / wh[None, None, :, None, :, None]
@@ -169,6 +174,35 @@ class EncoderLayer(nn.Module):
             dtype=self.dtype, impl=self.msda_impl, name="self_attn",
         )(src + pos, reference_points, src, spatial_shapes, padding_mask,
           channel_major=channel_major)
+
+        import os
+        flag = os.environ.get("VNEXT_FUSED_EPILOGUE", "auto")
+        if (
+            channel_major and not train and flag != "0"
+            and (jax.default_backend() == "tpu" or flag == "1")
+        ):
+            # fused Pallas tail: LN1(src+attn) -> FFN -> LN2 in one HBM pass
+            # (ops/encoder_epilogue.py); declares the identical param tree
+            from ..ops.encoder_epilogue import encoder_epilogue_cm
+            from .layers import ParamHolder
+
+            d, f = self.d_model, self.d_ffn
+            ones, zeros = nn.initializers.ones, nn.initializers.zeros
+            kinit = nn.linear.default_kernel_init
+            g1, be1 = ParamHolder(
+                (("scale", (d,), ones), ("bias", (d,), zeros)), name="norm1")()
+            w1, b1 = ParamHolder(
+                (("kernel", (d, f), kinit), ("bias", (f,), zeros)), name="linear1")()
+            w2, b2 = ParamHolder(
+                (("kernel", (f, d), kinit), ("bias", (d,), zeros)), name="linear2")()
+            g2, be2 = ParamHolder(
+                (("scale", (d,), ones), ("bias", (d,), zeros)), name="norm2")()
+            return encoder_epilogue_cm(
+                attn_out.astype(self.dtype), src.astype(self.dtype),
+                g1, be1, w1, b1, w2, b2, g2, be2,
+                interpret=jax.default_backend() != "tpu",
+            )
+
         attn_out = nn.Dropout(self.dropout, deterministic=not train)(attn_out)
         src = nn.LayerNorm(
             dtype=self.dtype, reduction_axes=feat_ax, feature_axes=feat_ax,

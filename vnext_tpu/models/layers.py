@@ -7,7 +7,7 @@ Reference surfaces: idol/models/deformable_detr.py (MLP), idol/models/backbone.p
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence
+from typing import Any, Callable, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -60,6 +60,24 @@ class DualDense(nn.Module):
         if bias is not None:
             y = y + bias.astype(self.dtype)
         return y
+
+
+class ParamHolder(nn.Module):
+    """Declares params with exact (name, shape, init) specs and returns them.
+
+    Used by fused-kernel branches to materialize the SAME parameter tree as
+    the module chain they replace (e.g. norm1/linear1/linear2/norm2 of an
+    encoder layer) without running the unfused compute — name this module as
+    the module it stands in for and checkpoints stay path-compatible. The RNG
+    fold path (scope name + param name) also matches, so init values are
+    bit-identical to the unfused branch.
+    """
+
+    specs: Tuple[Tuple[str, Tuple[int, ...], Callable], ...]
+
+    @nn.compact
+    def __call__(self):
+        return tuple(self.param(n, init, shape) for n, shape, init in self.specs)
 
 
 class MLP(nn.Module):

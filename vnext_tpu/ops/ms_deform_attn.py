@@ -242,6 +242,7 @@ def ms_deform_attn_cm_fused(
     ref_cm: Array,
     attn_cm: Array,
     impl: str = "auto",
+    attn_is_logits: bool = False,
 ) -> Array:
     """Channel-major MSDeformAttn taking RAW offsets + reference points.
 
@@ -252,7 +253,10 @@ def ms_deform_attn_cm_fused(
     it is a projection output, already exactly representable there.
 
     valueT [B, M*D, S]; off_cm [B, M, L, P, 2, S]; ref_cm [B, L, 2, S];
-    attn_cm [B, M, L, P, S] (softmaxed). Returns [B, M*D, S].
+    attn_cm [B, M, L, P, S] — softmaxed weights, or RAW logits when
+    ``attn_is_logits`` (v9 then softmaxes over (L, P) in VMEM; the fallback
+    paths softmax here in f32, exactly like the module would).
+    Returns [B, M*D, S].
     """
     import os
 
@@ -265,8 +269,14 @@ def ms_deform_attn_cm_fused(
         from .ms_deform_attn_pallas_v9 import ms_deform_attn_pallas_v9_cm_fused
 
         return ms_deform_attn_pallas_v9_cm_fused(
-            valueT, spatial_shapes, off_cm, ref_cm, attn_cm
+            valueT, spatial_shapes, off_cm, ref_cm, attn_cm,
+            attn_is_logits=attn_is_logits,
         )
+    if attn_is_logits:
+        b, m, l, p, s = attn_cm.shape
+        attn_cm = jax.nn.softmax(
+            attn_cm.reshape(b, m, l * p, s).astype(jnp.float32), axis=2
+        ).astype(valueT.dtype).reshape(b, m, l, p, s)
     wh = jnp.asarray([[w, h] for h, w in spatial_shapes], jnp.float32)  # [L, 2]
     loc = (
         ref_cm[:, None, :, None].astype(jnp.float32)

@@ -65,13 +65,17 @@ def _packed_schedule(x_pix: Array, y_pix: Array, m, hpb: int, ng: int):
 
 
 def _v9_kernel(sched_ref, *rest, meta, D, P, TQ, GSZ, TPP, NSCHED, ablate="",
-               fused_loc=False):
+               fused_loc=False, fused_softmax=False, fused_sched=False,
+               carry_acc=False):
     L = len(meta)
     grouped = [l for l, m in enumerate(meta) if not m.packed]
     packed = [l for l, m in enumerate(meta) if m.packed]
     NG = P // GSZ
     GN = GSZ * TQ
     PTQ = P * TQ
+    # packed-window schedules sit after the grouped ones, unless the grouped
+    # schedules moved in-kernel (fused_sched) and were never built
+    sched_lbase = 0 if fused_sched else len(grouped)
 
     if fused_loc:
         # fused-loc entry: loc_ref holds RAW bf16 sampling offsets (pixel
@@ -103,6 +107,31 @@ def _v9_kernel(sched_ref, *rest, meta, D, P, TQ, GSZ, TPP, NSCHED, ablate="",
         acc_ref[:] = jnp.zeros_like(acc_ref)
         tcol = tp * PTQ
 
+        attn_all = None
+        if fused_softmax:
+            # in-kernel softmax over the (L, P) axis pair: w_ref holds RAW
+            # logits (projection output, bf16). Column layout is p*TQ + q, so
+            # the 16-way reduction is an L-row reduce + a P-column-group fold.
+            wl = w_ref[0, :, pl.ds(tcol, PTQ)].astype(jnp.float32)  # [L, PTQ]
+            m1 = jnp.max(wl, axis=0, keepdims=True)                 # [1, PTQ]
+            mq = m1[:, 0:TQ]
+            for p_ in range(1, P):
+                mq = jnp.maximum(mq, m1[:, p_ * TQ : (p_ + 1) * TQ])
+            e = jnp.exp(wl - jnp.concatenate([mq] * P, axis=1))
+            s1 = jnp.sum(e, axis=0, keepdims=True)
+            sq = s1[:, 0:TQ]
+            for p_ in range(1, P):
+                sq = sq + s1[:, p_ * TQ : (p_ + 1) * TQ]
+            attn_all = e / jnp.concatenate([sq] * P, axis=1)        # [L, PTQ]
+
+        def _attn(l, g=None):
+            if attn_all is not None:
+                return (attn_all[l : l + 1, :] if g is None
+                        else attn_all[l : l + 1, g * GN : (g + 1) * GN])
+            cols = pl.ds(tcol if g is None else tcol + g * GN,
+                         PTQ if g is None else GN)
+            return w_ref[0, l : l + 1, cols].astype(jnp.float32)
+
         def _xy(l, cols, rep):
             """Pixel-space sampling coords [1, rep*TQ] for level l's columns."""
             x = loc_ref[0, 2 * l : 2 * l + 1, cols].astype(jnp.float32)
@@ -125,12 +154,35 @@ def _v9_kernel(sched_ref, *rest, meta, D, P, TQ, GSZ, TPP, NSCHED, ablate="",
             for g in range(NG):
                 cols = pl.ds(tcol + g * GN, GN)
                 x, y = _xy(l, cols, GSZ)                               # [1, GN]
-                attn = w_ref[0, l : l + 1, cols].astype(jnp.float32)
+                attn = _attn(l, g)
                 # tent selector: exact bilinear x-weights incl. fringe/OOB (v7 proof)
-                rx = jnp.maximum(0.0, 1.0 - jnp.abs(x - iota_w))
-                base = (pid * TPP + tp) * NSCHED + (gi * NG + g) * 2
-                rmin = sched_ref[base]
-                nch = sched_ref[base + 1]
+                if ablate == "noxsel":        # dev-only: cost of the rx build
+                    rx = iota_w * 1e-8 + x * 0.0
+                else:
+                    rx = jnp.maximum(0.0, 1.0 - jnp.abs(x - iota_w))
+                if fused_sched:
+                    # in-kernel row-span schedule: same semantics as
+                    # msda_schedule._group_schedule (cand rows {floor(y),
+                    # floor(y)+1}, valid iff in [0, h)), computed from the
+                    # tile's own y values — the XLA-side pixel-coordinate
+                    # reconstruction + reductions never run
+                    y0f = jnp.floor(jnp.clip(y, -2.0 * m.h - 4, 2.0 * m.h + 4))
+                    v0 = (y0f >= 0.0) & (y0f <= m.h - 1.0)
+                    v1 = (y0f >= -1.0) & (y0f <= m.h - 2.0)
+                    lo = jnp.minimum(jnp.where(v0, y0f, float(m.h)),
+                                     jnp.where(v1, y0f + 1.0, float(m.h)))
+                    hi = jnp.maximum(jnp.where(v0, y0f, -1.0),
+                                     jnp.where(v1, y0f + 1.0, -1.0))
+                    rmin_f = jnp.min(lo)
+                    span = jnp.max(hi) - rmin_f + 1.0
+                    nch = jnp.where(
+                        span > 0.0, jnp.ceil(span / m.hb), 0.0
+                    ).astype(jnp.int32)
+                    rmin = jnp.clip(rmin_f, 0.0, m.h - 1.0).astype(jnp.int32)
+                else:
+                    base = (pid * TPP + tp) * NSCHED + (gi * NG + g) * 2
+                    rmin = sched_ref[base]
+                    nch = sched_ref[base + 1]
                 rx_v = rx.astype(vref[l].dtype)
                 iota_hb0 = jax.lax.broadcasted_iota(jnp.int32, (m.hb, GN), 0)
 
@@ -141,19 +193,34 @@ def _v9_kernel(sched_ref, *rest, meta, D, P, TQ, GSZ, TPP, NSCHED, ablate="",
                                rmin=rmin, iota_hb0=iota_hb0):
                     r0 = jnp.clip(rmin + ch * m.hb, 0, m.h - 1)
                     vblk = vref[l][0, pl.ds(r0 * D, m.hb * D), :]
-                    u = jnp.dot(vblk, rx_v, preferred_element_type=jnp.float32)
-                    iota_hb = (iota_hb0 + r0).astype(jnp.float32)             # [hb, GN]
-                    ryw = jnp.maximum(0.0, 1.0 - jnp.abs(y - iota_hb)) * attn
-                    terms = [
-                        ryw[h : h + 1, :] * u[h * D : (h + 1) * D, :]
-                        for h in range(m.hb)
-                    ]
-                    while len(terms) > 1:
+                    if ablate == "nomm":      # dev-only: cost of the u matmul
+                        rep = (m.hb * D) // rx_v.shape[0] + 1
+                        u = jnp.concatenate([rx_v.astype(jnp.float32)] * rep, 0)[
+                            : m.hb * D
+                        ] + vblk[:, 0:1].astype(jnp.float32)
+                    else:
+                        u = jnp.dot(vblk, rx_v, preferred_element_type=jnp.float32)
+                    if ablate == "noyint":    # dev-only: cost of the y-interp
+                        s = u[0:D, :] + u[(m.hb - 1) * D :, :]
+                    else:
+                        iota_hb = (iota_hb0 + r0).astype(jnp.float32)         # [hb, GN]
+                        ryw = jnp.maximum(0.0, 1.0 - jnp.abs(y - iota_hb)) * attn
                         terms = [
-                            terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
-                            for i in range(0, len(terms), 2)
+                            ryw[h : h + 1, :] * u[h * D : (h + 1) * D, :]
+                            for h in range(m.hb)
                         ]
-                    s = terms[0]                                              # [D, GN]
+                        while len(terms) > 1:
+                            terms = [
+                                terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+                                for i in range(0, len(terms), 2)
+                            ]
+                        s = terms[0]                                          # [D, GN]
+                    if carry_acc:
+                        # carried [D, GN] accumulator: the chunk chain stays
+                        # in SSA values, acc_ref is touched once per group —
+                        # no read-after-write dependency between the per-level
+                        # matmul pipelines through the shared scratch
+                        return _ + s
                     for j in range(GSZ):
                         acc_ref[:] += s[:, j * TQ : (j + 1) * TQ]
                     return 0
@@ -162,15 +229,21 @@ def _v9_kernel(sched_ref, *rest, meta, D, P, TQ, GSZ, TPP, NSCHED, ablate="",
                 # weight in the window is zero (no corner lands in [0, h)),
                 # so it contributes exact zeros — and the p50 case (nch == 1)
                 # then needs no loop iterations at all
-                chunk_body(0, 0)
-                jax.lax.fori_loop(1, nch, chunk_body, 0)
+                if carry_acc:
+                    s_acc = chunk_body(0, jnp.zeros((D, GN), jnp.float32))
+                    s_acc = jax.lax.fori_loop(1, nch, chunk_body, s_acc)
+                    for j in range(GSZ):
+                        acc_ref[:] += s_acc[:, j * TQ : (j + 1) * TQ]
+                else:
+                    chunk_body(0, 0)
+                    jax.lax.fori_loop(1, nch, chunk_body, 0)
 
         # ---- packed levels: 4-weight folded selector + packed-row pick ----
         for pi, l in enumerate(packed if not skip_packed else []):
             m = meta[l]
             cols = pl.ds(tcol, PTQ)
             x, y = _xy(l, cols, P)                                            # [1, PTQ]
-            attn = w_ref[0, l : l + 1, cols].astype(jnp.float32)
+            attn = _attn(l)
             y0 = jnp.floor(y)
             ty = y - y0
             r0 = jnp.clip(jnp.floor(y0 / m.k), 0.0, m.hp - 1.0)
@@ -193,7 +266,7 @@ def _v9_kernel(sched_ref, *rest, meta, D, P, TQ, GSZ, TPP, NSCHED, ablate="",
                 for g in range(NG):
                     base = (
                         (pid * TPP + tp) * NSCHED
-                        + ((len(grouped) + pi) * NG + g) * 2
+                        + ((sched_lbase + pi) * NG + g) * 2
                     )
                     rst = sched_ref[base]
                     nchp = sched_ref[base + 1]
@@ -290,24 +363,16 @@ def _v9_config(spatial_shapes, P):
     return tq, gsz, tpp, meta
 
 
-def _forward_v9(value, spatial_shapes, sampling_locations, attention_weights):
-    # dev-only prep ablations (combine with ABLATE=empty): zeroing an input
-    # lets XLA constant-fold its entire prep chain (transposes, packing,
-    # schedules) while the pallas-call input streaming stays — isolates each
-    # prep stage's contribution to the no-compute floor
-    zprep = os.environ.get("VNEXT_MSDA_V9_ZPREP", "")
-    if "loc" in zprep:
-        sampling_locations = jnp.zeros_like(sampling_locations)
-        attention_weights = jnp.zeros_like(attention_weights)
-    if "val" in zprep:
-        value = jnp.zeros_like(value)
+def _v9_prep(value, spatial_shapes, sampling_locations, attention_weights,
+             meta, tq, tpp):
+    """Standard-layout -> kernel-layout relayouts (fwd AND bwd share this).
+
+    Returns (v_grouped, v_packed, loc_pix, w_T) where v_* are dicts keyed by
+    level. The function is affine in each input, so the backward entry gets
+    the exactly-matching inverse relayouts via jax.vjp of this function.
+    """
     B, S, M, D = value.shape
     _, Q, _, L, P, _ = sampling_locations.shape
-    spatial_shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
-    assert len(spatial_shapes) == L
-
-    tq, gsz, tpp, meta = _v9_config(spatial_shapes, P)
-
     bm = B * M
     q_pad = ((Q + tq * tpp - 1) // (tq * tpp)) * (tq * tpp)
     t = q_pad // tq
@@ -357,7 +422,6 @@ def _forward_v9(value, spatial_shapes, sampling_locations, attention_weights):
             bm, L, t * ptq
         )
 
-    ng = P // gsz
     v_grouped, v_packed = {}, {}
     start = 0
     for l, ((h, w), m) in enumerate(zip(spatial_shapes, meta)):
@@ -371,6 +435,34 @@ def _forward_v9(value, spatial_shapes, sampling_locations, attention_weights):
             vt = jnp.transpose(v_l.reshape(B, h, w, M, D), (0, 3, 1, 4, 2))
             vt = vt.reshape(bm, h * D, w)
             v_grouped[l] = jnp.pad(vt, ((0, 0), (0, (m.hpad - h) * D), (0, m.wpad - w)))
+    return v_grouped, v_packed, loc_pix, w_T
+
+
+def _forward_v9(value, spatial_shapes, sampling_locations, attention_weights):
+    # dev-only prep ablations (combine with ABLATE=empty): zeroing an input
+    # lets XLA constant-fold its entire prep chain (transposes, packing,
+    # schedules) while the pallas-call input streaming stays — isolates each
+    # prep stage's contribution to the no-compute floor
+    zprep = os.environ.get("VNEXT_MSDA_V9_ZPREP", "")
+    if "loc" in zprep:
+        sampling_locations = jnp.zeros_like(sampling_locations)
+        attention_weights = jnp.zeros_like(attention_weights)
+    if "val" in zprep:
+        value = jnp.zeros_like(value)
+    B, S, M, D = value.shape
+    _, Q, _, L, P, _ = sampling_locations.shape
+    spatial_shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
+    assert len(spatial_shapes) == L
+
+    tq, gsz, tpp, meta = _v9_config(spatial_shapes, P)
+
+    bm = B * M
+    q_pad = ((Q + tq * tpp - 1) // (tq * tpp)) * (tq * tpp)
+
+    v_grouped, v_packed, loc_pix, w_T = _v9_prep(
+        value, spatial_shapes, sampling_locations, attention_weights,
+        meta, tq, tpp,
+    )
 
     out = _v9_dispatch(
         meta, loc_pix, w_T, v_grouped, v_packed,
@@ -385,7 +477,7 @@ def _forward_v9(value, spatial_shapes, sampling_locations, attention_weights):
 
 def _v9_dispatch(
     meta, loc_pix, w_T, v_grouped, v_packed, *, B, M, D, P, q_pad, tq, gsz,
-    tpp, out_dtype, refp=None,
+    tpp, out_dtype, refp=None, fused_softmax=False, fused_sched=False,
 ):
     """Shared kernel-call tail: schedules + grid spec + pallas_call.
 
@@ -394,7 +486,10 @@ def _v9_dispatch(
     Fused-loc mode (refp not None): loc_pix instead holds RAW bf16 offsets in
     the same layout and refp is the [B, 2L, t, tq] f32 pixel reference grid;
     pixel locations are formed in-kernel (loc = ref*wh - 0.5 + off).
-    Returns [BM, D, q_pad] in out_dtype.
+    fused_softmax: w_T holds RAW attention logits; the kernel softmaxes over
+    (L, P) in VMEM. fused_sched: grouped-level row schedules are computed
+    in-kernel from the tile's own y values (no XLA reductions, no scalar
+    prefetch for them). Returns [BM, D, q_pad] in out_dtype.
     """
     L = len(meta)
     grouped = [l for l, m in enumerate(meta) if not m.packed]
@@ -428,7 +523,7 @@ def _v9_dispatch(
                 )
             else:
                 p_scheds.append(None)
-        else:
+        elif not fused_sched:
             scheds.append(_group_schedule(_pix(2 * l + 1), m.h, m.hb, m.ch, gsz))
     if any(s is not None for s in p_scheds):
         # packed schedules sit at stack positions len(grouped)+pi (kernel
@@ -450,7 +545,9 @@ def _v9_dispatch(
     kernel = functools.partial(
         _v9_kernel, meta=meta, D=D, P=P, TQ=tq, GSZ=gsz, TPP=tpp, NSCHED=nsched,
         ablate=os.environ.get("VNEXT_MSDA_V9_ABLATE", ""),
-        fused_loc=refp is not None,
+        fused_loc=refp is not None, fused_softmax=fused_softmax,
+        fused_sched=fused_sched,
+        carry_acc=os.environ.get("VNEXT_MSDA_V9_CARRY", "0") == "1",
     )
 
     refp_specs, refp_args = [], []
@@ -602,7 +699,8 @@ def ms_deform_attn_pallas_v9_cm(valueT, spatial_shapes, loc_cm, attn_cm):
     return out.reshape(B, M * D, q_pad)[:, :, :Q]
 
 
-def ms_deform_attn_pallas_v9_cm_fused(valueT, spatial_shapes, off_cm, ref_cm, attn_cm):
+def ms_deform_attn_pallas_v9_cm_fused(valueT, spatial_shapes, off_cm, ref_cm,
+                                      attn_cm, attn_is_logits=False):
     """Channel-major v9 forward with IN-KERNEL sampling-location computation.
 
     Same math as ms_deform_attn_pallas_v9_cm on
@@ -617,9 +715,16 @@ def ms_deform_attn_pallas_v9_cm_fused(valueT, spatial_shapes, off_cm, ref_cm, at
 
     valueT:  [B, M*D, S];  off_cm: [B, M, L, P, 2, S] (any float dtype);
     ref_cm:  [B, L, 2, S] normalized reference points;
-    attn_cm: [B, M, L, P, S] softmaxed attention weights.
+    attn_cm: [B, M, L, P, S] softmaxed attention weights — or RAW logits when
+    ``attn_is_logits`` (the kernel then softmaxes over (L, P) in VMEM,
+    eliminating the XLA softmax passes entirely).
     Returns [B, M*D, S] channel-major output. Inference-only (no VJP).
+
+    With VNEXT_MSDA_KSCHED=1 (default) the grouped-level row schedules are
+    also computed in-kernel, so this entry stages NO pixel-coordinate
+    reconstruction or schedule reductions in XLA at all.
     """
+    fused_sched = os.environ.get("VNEXT_MSDA_KSCHED", "1") == "1"
     B, MD, S = valueT.shape
     _, M, L, P, _, Q = off_cm.shape
     D = MD // M
@@ -677,7 +782,8 @@ def ms_deform_attn_pallas_v9_cm_fused(valueT, spatial_shapes, off_cm, ref_cm, at
     out = _v9_dispatch(
         meta, off_T, w_T, v_grouped, v_packed,
         B=B, M=M, D=D, P=P, q_pad=q_pad, tq=tq, gsz=gsz, tpp=tpp,
-        out_dtype=valueT.dtype, refp=refp,
+        out_dtype=valueT.dtype, refp=refp, fused_softmax=attn_is_logits,
+        fused_sched=fused_sched,
     )
     return out.reshape(B, M * D, q_pad)[:, :, :Q]
 
@@ -694,6 +800,10 @@ def _fwd(value, spatial_shapes, sampling_locations, attention_weights):
 
 
 def _bwd(spatial_shapes, residuals, g):
+    if os.environ.get("VNEXT_MSDA_BWD", "v9") == "v9":
+        from .ms_deform_attn_pallas_v9_bwd import _backward_v9
+
+        return _backward_v9(spatial_shapes, residuals, g)
     from .ms_deform_attn_pallas import _bwd as _bwd_v6
 
     return _bwd_v6(spatial_shapes, residuals, g)
