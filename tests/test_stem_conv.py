@@ -59,3 +59,30 @@ def test_resnet_stem_flag_parity(monkeypatch):
     # downstream f32 stages keep the diff at bf16-rounding scale
     diff = np.abs(np.asarray(out_on - out_off, np.float32))
     assert diff.max() < 0.15 * max(float(jnp.abs(out_off).max()), 1.0)
+
+
+def test_stem_grad_matches_reference():
+    """The stem is differentiable (train path hits it): its VJP linearizes
+    the XLA oracle, so grads must equal the oracle's own grads exactly."""
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(1, 16, 16, 3), jnp.float32)
+    k = jnp.asarray(rng.randn(7, 7, 3, 64) * 0.1, jnp.bfloat16)
+    scale = jnp.asarray(rng.rand(64) + 0.5, jnp.float32)
+    bias = jnp.asarray(rng.randn(64) * 0.1, jnp.float32)
+    cot = jnp.asarray(rng.randn(1, 8, 8, 64), jnp.float32)
+
+    def loss_k(x, k, s, b):
+        o = stem_conv7x7s2_bn_relu(x, k, s, b, interpret=INTERPRET)
+        return jnp.sum(o.astype(jnp.float32) * cot)
+
+    from vnext_tpu.ops.stem_conv import _stem_ref_f32
+
+    def loss_r(x, k, s, b):
+        return jnp.sum(_stem_ref_f32(x, k, s, b).astype(jnp.float32) * cot)
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2, 3))(x, k, scale, bias)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(x, k, scale, bias)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), atol=1e-5
+        )

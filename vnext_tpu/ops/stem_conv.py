@@ -117,14 +117,54 @@ def _stem_kernel(xps_ref, w_ref, sb_ref, out_ref, *, TH, WO, CO):
         out_ref[0, i] = jnp.maximum(acc, 0.0).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def stem_conv7x7s2_bn_relu(
     x: Array, k_hwio: Array, scale: Array, bias: Array, interpret: bool = False
 ) -> Array:
     """Fused stem on TPU via Pallas. x [B,H,W,3] (any float dtype), H,W even.
 
     Returns relu(conv7x7/s2(x, k) * scale + bias) as bf16 [B, H/2, W/2, 64].
+    Differentiable: the VJP linearizes the XLA oracle (stem_conv_reference)
+    at the same primal point — the kernel is forward-only, and XLA's conv
+    transpose is already the right tool for the backward (the C_in=3 lane
+    padding that motivates the forward kernel does not afflict dK/dX, whose
+    contractions run over the 64-channel output). Training with FREEZE_AT>=1
+    (the reference default) DCEs the backward entirely.
     """
+    return _stem_impl(x, k_hwio, scale, bias, interpret)
+
+
+def _stem_fwd(x, k_hwio, scale, bias, interpret):
+    return _stem_impl(x, k_hwio, scale, bias, interpret), (x, k_hwio, scale, bias)
+
+
+def _stem_ref_f32(x: Array, k_hwio: Array, scale: Array, bias: Array) -> Array:
+    """Oracle with an f32 conv: same math as stem_conv_reference up to bf16
+    rounding of the multiplies; used as the VJP linearization point (XLA's
+    conv transpose rejects the mixed bf16-in/f32-out conv)."""
+    y = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32), k_hwio.astype(jnp.float32), window_strides=(2, 2),
+        padding=[(3, 3), (3, 3)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    y = y * scale[None, None, None, :].astype(jnp.float32) + bias[
+        None, None, None, :
+    ].astype(jnp.float32)
+    return jnp.maximum(y, 0.0).astype(jnp.bfloat16)
+
+
+def _stem_bwd(interpret, residuals, g):
+    x, k_hwio, scale, bias = residuals
+    _, vjp = jax.vjp(_stem_ref_f32, x, k_hwio, scale, bias)
+    return vjp(g)
+
+
+stem_conv7x7s2_bn_relu.defvjp(_stem_fwd, _stem_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _stem_impl(
+    x: Array, k_hwio: Array, scale: Array, bias: Array, interpret: bool = False
+) -> Array:
     b, h, w, cin = x.shape
     assert cin == 3 and h % 2 == 0 and w % 2 == 0, (b, h, w, cin)
     co = k_hwio.shape[-1]
