@@ -75,6 +75,7 @@ _C.MODEL.SEM_SEG_HEAD.LOSS_WEIGHT = 0.5
 
 _C.MODEL.FPN = CN()
 _C.MODEL.FPN.OUT_CHANNELS = 256
+_C.MODEL.FPN.NORM = ""  # "", "GN", "SyncBN" (reference fpn.py norm arg)
 
 
 _C.MODEL.SWIN = CN()

@@ -17,6 +17,9 @@ _PREDEFINED_LVIS = {
     "lvis_v1_train": ("coco/", "lvis/lvis_v1_train.json"),
     "lvis_v1_val": ("coco/", "lvis/lvis_v1_val.json"),
     "lvis_v1_test_dev": ("coco/", "lvis/lvis_v1_image_info_test_dev.json"),
+    "lvis_v0.5_train": ("coco/", "lvis/lvis_v0.5_train.json"),
+    "lvis_v0.5_val": ("coco/", "lvis/lvis_v0.5_val.json"),
+    "lvis_v0.5_test": ("coco/", "lvis/lvis_v0.5_image_info_test.json"),
 }
 
 _PREDEFINED_VOC = [
