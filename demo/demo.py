@@ -32,6 +32,87 @@ from PIL import Image
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def _run_webcam(args, runner, cam_buffer, chunk):
+    """Live camera loop (reference demo/demo.py:98 --webcam): capture a clip,
+    run the video model on it, show/write annotated frames, repeat until
+    q/ESC or --webcam-max-frames. Track identities are per-clip (the runner
+    associates within a clip); the visualizer keeps colors stable by id."""
+    import cv2
+
+    from vnext_tpu.utils.visualizer import VideoVisualizer
+
+    cap = cv2.VideoCapture(args.webcam_device)
+    if not cap.isOpened():
+        raise SystemExit(f"cannot open camera device {args.webcam_device}")
+    viz = VideoVisualizer()
+    writer = None
+    processed = 0
+    display = bool(os.environ.get("DISPLAY"))
+    try:
+        stop = False
+        while not stop:
+            paths = []
+            for _ in range(chunk):
+                ok, bgr = cap.read()
+                if not ok:
+                    stop = True
+                    break
+                name = f"cam_{processed + len(paths):08d}"
+                cam_buffer[name] = np.ascontiguousarray(bgr[:, :, ::-1])
+                paths.append(name)
+                if (args.webcam_max_frames
+                        and processed + len(paths) >= args.webcam_max_frames):
+                    stop = True
+                    break
+            if not paths:
+                break
+            h, w = cam_buffer[paths[0]].shape[:2]
+            out = runner({"file_names": paths, "height": h, "width": w,
+                          "length": len(paths), "video_id": 0})
+            keep = [i for i, s in enumerate(out["pred_scores"])
+                    if s >= args.confidence_threshold]
+            for t, p in enumerate(paths):
+                frame = np.ascontiguousarray(cam_buffer[p])
+                tids, masks, labels, scores = [], [], [], []
+                for i in keep:
+                    m = out["pred_masks"][i][t]
+                    if m is None:
+                        continue
+                    tids.append(i)
+                    masks.append(m)
+                    labels.append(out["pred_labels"][i])
+                    scores.append(out["pred_scores"][i])
+                if masks:
+                    frame = viz.draw_frame(
+                        frame, tids, labels=np.asarray(labels),
+                        scores=np.asarray(scores), masks=np.stack(masks),
+                    )
+                if args.video_output:
+                    if writer is None:
+                        from vnext_tpu.utils.video_io import VideoWriter
+
+                        writer = VideoWriter(args.video_output, fps=25.0)
+                    writer.write(frame)
+                if args.output:
+                    os.makedirs(args.output, exist_ok=True)
+                    Image.fromarray(frame).save(
+                        os.path.join(args.output, f"{p}.png"))
+                if display:
+                    cv2.imshow("vnext_tpu demo", frame[:, :, ::-1])
+                    if cv2.waitKey(1) & 0xFF in (ord("q"), 27):
+                        stop = True
+                processed += 1
+            for p in paths:
+                cam_buffer.pop(p, None)
+    finally:
+        cap.release()
+        if writer is not None:
+            writer.close()
+        if display:
+            cv2.destroyAllWindows()
+    print(f"Processed {processed} webcam frames")
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config-file", required=True)
@@ -39,6 +120,12 @@ def main():
                         choices=["idol", "seqformer", "minvis"])
     parser.add_argument("--input", help="directory of frames or glob")
     parser.add_argument("--video-input", help="video file (MJPEG-AVI without cv2)")
+    parser.add_argument("--webcam", action="store_true",
+                        help="live camera input (reference demo.py --webcam); "
+                             "processes rolling clips and shows/writes results")
+    parser.add_argument("--webcam-device", type=int, default=0)
+    parser.add_argument("--webcam-max-frames", type=int, default=0,
+                        help="stop after this many frames (0 = until q/ESC)")
     parser.add_argument("--output", help="output directory for visualized frames")
     parser.add_argument("--video-output", help="output video file (MJPEG-AVI)")
     parser.add_argument("--confidence-threshold", type=float, default=0.3)
@@ -62,13 +149,19 @@ def main():
     if args.opts:
         cfg.merge_from_list(args.opts)
 
-    if not (args.input or args.video_input):
-        raise SystemExit("one of --input / --video-input is required")
-    if not (args.output or args.video_output):
+    if not (args.input or args.video_input or args.webcam):
+        raise SystemExit("one of --input / --video-input / --webcam is required")
+    if not (args.output or args.video_output or args.webcam):
         raise SystemExit("one of --output / --video-output is required")
 
     fps = 25.0
-    if args.video_input:
+    cam_buffer = {}
+    if args.webcam:
+        # frames arrive live; the runner's image_loader indexes the capture
+        # buffer filled by _run_webcam below
+        frame_paths = []
+        load_frame = lambda p: cam_buffer[p]
+    elif args.video_input:
         from vnext_tpu.utils.video_io import read_video
 
         video_frames, fps = read_video(args.video_input)
@@ -81,14 +174,15 @@ def main():
         if not frame_paths:
             raise SystemExit(f"No frames found at {args.input}")
         load_frame = lambda p: np.asarray(Image.open(p).convert("RGB"))
-    first = load_frame(frame_paths[0])
-    record = {
-        "file_names": frame_paths,
-        "height": first.shape[0],
-        "width": first.shape[1],
-        "length": len(frame_paths),
-        "video_id": 0,
-    }
+    if not args.webcam:
+        first = load_frame(frame_paths[0])
+        record = {
+            "file_names": frame_paths,
+            "height": first.shape[0],
+            "width": first.shape[1],
+            "length": len(frame_paths),
+            "video_id": 0,
+        }
 
     h, w = cfg.TPU.TEST_IMAGE_SIZE
     common = dict(
@@ -139,6 +233,14 @@ def main():
         if cfg.MODEL.WEIGHTS:
             params = load_weights(cfg.MODEL.WEIGHTS, params)
         runner = MinVISVideoInference(model, params, **common)
+
+    if args.webcam:
+        chunk = (cfg.MODEL.IDOL.BATCH_INFER_LEN if args.model_type == "idol"
+                 else cfg.MODEL.SeqFormer.CLIP_LENGTH
+                 if args.model_type == "seqformer" else 8)
+        _run_webcam(args, runner, cam_buffer, max(int(chunk), 2))
+        return
+
     out = runner(record)
 
     from vnext_tpu.engine.predictor import AsyncPredictor
