@@ -28,6 +28,7 @@ def _build_rcnn(cfg, panoptic=False):
         test_score_thresh=cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST,
         test_nms_thresh=cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST,
         max_detections=cfg.TEST.DETECTIONS_PER_IMAGE,
+        cascade_on=cfg.MODEL.ROI_HEADS.NAME == "CascadeROIHeads",
         dtype=jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32,
     )
     if panoptic:

@@ -213,6 +213,7 @@ class GeneralizedRCNN(nn.Module):
     test_score_thresh: float = 0.05
     test_nms_thresh: float = 0.5
     max_detections: int = 100
+    cascade_on: bool = False  # ROI_HEADS.NAME == "CascadeROIHeads"
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -225,12 +226,27 @@ class GeneralizedRCNN(nn.Module):
         self.rpn = RPN(in_channels=self.fpn_channels,
                        post_nms_topk=self.proposals_per_image,
                        strides=(4, 8, 16, 32, 64), dtype=self.dtype, name="rpn")
-        self.roi_heads = StandardROIHeads(num_classes=self.num_classes,
-                                          mask_on=self.mask_on,
-                                          keypoint_on=self.keypoint_on,
-                                          num_keypoints=self.num_keypoints,
-                                          dtype=self.dtype,
-                                          name="roi_heads")
+        if self.cascade_on:
+            # multi-stage refinement heads (reference cascade_rcnn.py:29);
+            # box-only — the reference's cascade mask branch pools on the
+            # last stage's boxes, which inference_masks_on_boxes covers
+            assert not (self.mask_on or self.keypoint_on), (
+                "CascadeROIHeads here is box-only; use inference_masks_on_boxes "
+                "for mask-on-final-boxes flows")
+            from .cascade_rcnn import CascadeROIHeads
+
+            self.roi_heads = CascadeROIHeads(
+                num_classes=self.num_classes,
+                batch_per_image=self.roi_batch_per_image,
+                pos_fraction=self.roi_pos_fraction,
+                dtype=self.dtype, name="roi_heads")
+        else:
+            self.roi_heads = StandardROIHeads(num_classes=self.num_classes,
+                                              mask_on=self.mask_on,
+                                              keypoint_on=self.keypoint_on,
+                                              num_keypoints=self.num_keypoints,
+                                              dtype=self.dtype,
+                                              name="roi_heads")
         self.box2box = Box2BoxTransform(weights=(10.0, 10.0, 5.0, 5.0))
 
     def _features(self, images):
@@ -255,6 +271,12 @@ class GeneralizedRCNN(nn.Module):
         proposals, _, anchors, rpn_logits, rpn_deltas = self.rpn(fpn_list, image_sizes, train)
         losses = RPN.losses(rpn_logits, rpn_deltas, anchors, targets,
                             rng=rng_key if rng_key is not None else jax.random.PRNGKey(0))
+
+        if self.cascade_on:
+            losses.update(self.roi_heads(
+                feats, proposals, image_sizes, targets, train=True,
+                rng_key=rng_key if rng_key is not None else jax.random.PRNGKey(1)))
+            return losses
 
         # sample a fixed ROI batch: proposals + gt boxes, matched by IoU
         b = proposals.shape[0]
@@ -354,6 +376,33 @@ class GeneralizedRCNN(nn.Module):
     def inference_on_features(self, feats: Dict[str, Array], image_sizes: Array) -> Dict[str, Array]:
         fpn_list = [feats[f"p{i}"] for i in range(2, 7)]
         proposals, _, _, _, _ = self.rpn(fpn_list, image_sizes, train=False)
+
+        if self.cascade_on:
+            # stage-ensembled scores + last-stage boxes (reference
+            # cascade_rcnn.py:238 predict_probs averaging), then the same
+            # fixed-shape per-class NMS as the standard path but with the
+            # class-agnostic refined boxes
+            casc = self.roi_heads(feats, proposals, image_sizes, train=False)
+
+            def per_image_cascade(boxes_r, scores_rc, hw):
+                r, c = scores_rc.shape
+                k = min(4 * self.max_detections, r * c)
+                top_sc, top_idx = jax.lax.top_k(scores_rc.reshape(-1), k)
+                pi = top_idx // c
+                cls = top_idx % c
+                boxes = boxes_r[pi]
+                valid = top_sc > self.test_score_thresh
+                keep = batched_nms_mask(boxes, top_sc, cls,
+                                        self.test_nms_thresh, valid=valid)
+                sc = jnp.where(keep, top_sc, -1.0)
+                outv, outi = jax.lax.top_k(sc, self.max_detections)
+                return boxes[outi], outv, cls[outi], outv > 0
+
+            boxes, scores, classes, valid = jax.vmap(per_image_cascade)(
+                casc["boxes"], casc["scores"], image_sizes)
+            return {"boxes": boxes, "scores": scores, "classes": classes,
+                    "valid": valid}
+
         head_out = self.roi_heads(feats, proposals)
         b, r = proposals.shape[:2]
         probs = jax.nn.softmax(head_out["cls_logits"], -1)[..., :-1]       # [B, R, C]
