@@ -720,11 +720,16 @@ def ms_deform_attn_pallas_v9_cm_fused(valueT, spatial_shapes, off_cm, ref_cm,
     eliminating the XLA softmax passes entirely).
     Returns [B, M*D, S] channel-major output. Inference-only (no VJP).
 
-    With VNEXT_MSDA_KSCHED=1 (default) the grouped-level row schedules are
-    also computed in-kernel, so this entry stages NO pixel-coordinate
-    reconstruction or schedule reductions in XLA at all.
+    With VNEXT_MSDA_KSCHED=1 the grouped-level row schedules are also
+    computed in-kernel (no pixel-coordinate reconstruction or schedule
+    reductions staged in XLA at all). Default is 0: the in-model A/B at IDOL
+    eval shapes (tools/profile_enc_variants.py, r5) measured the host
+    schedules 1.9 ms/clip FASTER (71.4 vs 73.3 ms encoder stage) — the XLA
+    schedule reductions overlap the surrounding ops better than the extra
+    in-kernel VPU work amortizes — and the fused-sched kernel costs ~10x the
+    Mosaic compile time (449 s vs 39 s cold).
     """
-    fused_sched = os.environ.get("VNEXT_MSDA_KSCHED", "1") == "1"
+    fused_sched = os.environ.get("VNEXT_MSDA_KSCHED", "0") == "1"
     B, MD, S = valueT.shape
     _, M, L, P, _, Q = off_cm.shape
     D = MD // M
