@@ -28,7 +28,8 @@ REPS = int(os.environ.get("REPS", "6"))
 def chained(model, params, frames, sizes, stage, reps=REPS):
     def run_stage(m, x):
         if stage == "backbone":
-            return m.backbone(x)["res5"]
+            feats = m.backbone(x)
+            return feats["res5"] if "res5" in feats else list(feats.values())[-1]
         if stage == "features":
             srcs, _, _ = m.extract_features(x, sizes)
             return srcs[0]
@@ -68,6 +69,10 @@ def main():
     cfg = get_cfg()
     add_idol_config(cfg)
     cfg.MODEL.IDOL.NUM_CLASSES = 40
+    # CONFIG=<yaml> profiles another recipe (e.g. configs/idol/ytvis19_swinL.yaml)
+    if os.environ.get("CONFIG"):
+        cfg.merge_from_file(os.environ["CONFIG"])
+        cfg.MODEL.WEIGHTS = ""
     model = build_idol_model(cfg)
 
     rng = np.random.RandomState(0)

@@ -73,7 +73,8 @@ def main():
     refT = jnp.asarray(np.tile(ref[None, None], (T, L, 1, 1)), jnp.float32)
 
     chained(lambda x: x * 1.001, valT, "null (harness floor)")
-    for ab in ("", "noxsel", "nomm", "noyint", "nogrouped", "nopacked", "empty"):
+    for ab in ("", "noxsel", "nomm", "noyint", "noloop", "r0c", "acc1",
+               "nogrouped", "nopacked", "empty"):
         os.environ["VNEXT_MSDA_V9_ABLATE"] = ab
         chained(
             lambda x: ms_deform_attn_pallas_v9_cm_fused(

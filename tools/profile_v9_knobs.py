@@ -75,12 +75,15 @@ def main():
     os.environ["VNEXT_MSDA_V9_ABLATE"] = ""
 
     for tq, tpp, hb, ks in (
+        ("256", "1", "8", "0"),
+        ("512", "1", "8", "0"),
+        ("256", "2", "8", "0"),
+        ("512", "2", "8", "0"),
+        ("256", "1", "4", "0"),
+        ("512", "1", "4", "0"),
+        ("1024", "1", "8", "0"),
         ("256", "2", "8", "1"),
         ("512", "1", "8", "1"),
-        ("256", "2", "4", "1"),
-        ("512", "1", "4", "1"),
-        ("512", "1", "8", "0"),
-        ("256", "4", "8", "1"),
     ):
         os.environ["VNEXT_MSDA_V9_TQ"] = tq
         os.environ["VNEXT_MSDA_V9_TPP"] = tpp

@@ -148,95 +148,120 @@ def _v9_kernel(sched_ref, *rest, meta, D, P, TQ, GSZ, TPP, NSCHED, ablate="",
             return x, y
 
         # ---- grouped levels: x-selector matmul on a dynamic VMEM row slice ----
-        for gi, l in enumerate(grouped if not skip_grouped else []):
+        def _group_inputs(gi, l, g):
+            """Selector + row-span schedule for one (level, point-group)."""
             m = meta[l]
-            iota_w = jax.lax.broadcasted_iota(jnp.int32, (m.wpad, GN), 0).astype(jnp.float32)
-            for g in range(NG):
-                cols = pl.ds(tcol + g * GN, GN)
-                x, y = _xy(l, cols, GSZ)                               # [1, GN]
-                attn = _attn(l, g)
-                # tent selector: exact bilinear x-weights incl. fringe/OOB (v7 proof)
-                if ablate == "noxsel":        # dev-only: cost of the rx build
-                    rx = iota_w * 1e-8 + x * 0.0
-                else:
-                    rx = jnp.maximum(0.0, 1.0 - jnp.abs(x - iota_w))
-                if fused_sched:
-                    # in-kernel row-span schedule: same semantics as
-                    # msda_schedule._group_schedule (cand rows {floor(y),
-                    # floor(y)+1}, valid iff in [0, h)), computed from the
-                    # tile's own y values — the XLA-side pixel-coordinate
-                    # reconstruction + reductions never run
-                    y0f = jnp.floor(jnp.clip(y, -2.0 * m.h - 4, 2.0 * m.h + 4))
-                    v0 = (y0f >= 0.0) & (y0f <= m.h - 1.0)
-                    v1 = (y0f >= -1.0) & (y0f <= m.h - 2.0)
-                    lo = jnp.minimum(jnp.where(v0, y0f, float(m.h)),
-                                     jnp.where(v1, y0f + 1.0, float(m.h)))
-                    hi = jnp.maximum(jnp.where(v0, y0f, -1.0),
-                                     jnp.where(v1, y0f + 1.0, -1.0))
-                    rmin_f = jnp.min(lo)
-                    span = jnp.max(hi) - rmin_f + 1.0
-                    nch = jnp.where(
-                        span > 0.0, jnp.ceil(span / m.hb), 0.0
-                    ).astype(jnp.int32)
-                    rmin = jnp.clip(rmin_f, 0.0, m.h - 1.0).astype(jnp.int32)
-                else:
-                    base = (pid * TPP + tp) * NSCHED + (gi * NG + g) * 2
-                    rmin = sched_ref[base]
-                    nch = sched_ref[base + 1]
-                rx_v = rx.astype(vref[l].dtype)
-                iota_hb0 = jax.lax.broadcasted_iota(jnp.int32, (m.hb, GN), 0)
+            iota_w = jax.lax.broadcasted_iota(
+                jnp.int32, (m.wpad, GN), 0).astype(jnp.float32)
+            cols = pl.ds(tcol + g * GN, GN)
+            x, y = _xy(l, cols, GSZ)                                   # [1, GN]
+            attn = _attn(l, g)
+            # tent selector: exact bilinear x-weights incl. fringe/OOB (v7 proof)
+            if ablate == "noxsel":            # dev-only: cost of the rx build
+                rx = iota_w * 1e-8 + x * 0.0
+            else:
+                rx = jnp.maximum(0.0, 1.0 - jnp.abs(x - iota_w))
+            if fused_sched:
+                # in-kernel row-span schedule: same semantics as
+                # msda_schedule._group_schedule (cand rows {floor(y),
+                # floor(y)+1}, valid iff in [0, h)), computed from the
+                # tile's own y values — the XLA-side pixel-coordinate
+                # reconstruction + reductions never run
+                y0f = jnp.floor(jnp.clip(y, -2.0 * m.h - 4, 2.0 * m.h + 4))
+                v0 = (y0f >= 0.0) & (y0f <= m.h - 1.0)
+                v1 = (y0f >= -1.0) & (y0f <= m.h - 2.0)
+                lo = jnp.minimum(jnp.where(v0, y0f, float(m.h)),
+                                 jnp.where(v1, y0f + 1.0, float(m.h)))
+                hi = jnp.maximum(jnp.where(v0, y0f, -1.0),
+                                 jnp.where(v1, y0f + 1.0, -1.0))
+                rmin_f = jnp.min(lo)
+                span = jnp.max(hi) - rmin_f + 1.0
+                nch = jnp.where(
+                    span > 0.0, jnp.ceil(span / m.hb), 0.0
+                ).astype(jnp.int32)
+                rmin = jnp.clip(rmin_f, 0.0, m.h - 1.0).astype(jnp.int32)
+            else:
+                base = (pid * TPP + tp) * NSCHED + (gi * NG + g) * 2
+                rmin = sched_ref[base]
+                nch = sched_ref[base + 1]
+            rx_v = rx.astype(vref[l].dtype)
+            iota_hb0 = jax.lax.broadcasted_iota(jnp.int32, (m.hb, GN), 0)
+            return m, rx_v, y, attn, rmin, nch, iota_hb0
 
-                # dynamic-trip chunk loop: typical nch is 1-2; an unrolled
-                # @pl.when ladder over ch_cap (15 for the stride-8 level)
-                # costs ~46 scalar branches per tile pass and dominated v8
-                def chunk_body(ch, _, l=l, m=m, rx_v=rx_v, y=y, attn=attn,
-                               rmin=rmin, iota_hb0=iota_hb0):
+        def _mk_chunk_body(l, m, rx_v, y, attn, rmin, iota_hb0):
+            """Chunk computation, SSA-carried: carry -> carry + s_chunk."""
+
+            def chunk_body(ch, carry):
+                if ablate == "r0c":           # dev-only: dynamic-slice cost
+                    r0 = jnp.int32(0) if isinstance(ch, int) else ch * m.hb
+                else:
                     r0 = jnp.clip(rmin + ch * m.hb, 0, m.h - 1)
-                    vblk = vref[l][0, pl.ds(r0 * D, m.hb * D), :]
-                    if ablate == "nomm":      # dev-only: cost of the u matmul
-                        rep = (m.hb * D) // rx_v.shape[0] + 1
-                        u = jnp.concatenate([rx_v.astype(jnp.float32)] * rep, 0)[
-                            : m.hb * D
-                        ] + vblk[:, 0:1].astype(jnp.float32)
-                    else:
-                        u = jnp.dot(vblk, rx_v, preferred_element_type=jnp.float32)
-                    if ablate == "noyint":    # dev-only: cost of the y-interp
-                        s = u[0:D, :] + u[(m.hb - 1) * D :, :]
-                    else:
-                        iota_hb = (iota_hb0 + r0).astype(jnp.float32)         # [hb, GN]
-                        ryw = jnp.maximum(0.0, 1.0 - jnp.abs(y - iota_hb)) * attn
+                vblk = vref[l][0, pl.ds(r0 * D, m.hb * D), :]
+                if ablate == "nomm":          # dev-only: cost of the u matmul
+                    rep = (m.hb * D) // rx_v.shape[0] + 1
+                    u = jnp.concatenate([rx_v.astype(jnp.float32)] * rep, 0)[
+                        : m.hb * D
+                    ] + vblk[:, 0:1].astype(jnp.float32)
+                else:
+                    u = jnp.dot(vblk, rx_v, preferred_element_type=jnp.float32)
+                if ablate == "noyint":        # dev-only: cost of the y-interp
+                    s = u[0:D, :] + u[(m.hb - 1) * D :, :]
+                else:
+                    iota_hb = (iota_hb0 + r0).astype(jnp.float32)     # [hb, GN]
+                    ryw = jnp.maximum(0.0, 1.0 - jnp.abs(y - iota_hb)) * attn
+                    terms = [
+                        ryw[h : h + 1, :] * u[h * D : (h + 1) * D, :]
+                        for h in range(m.hb)
+                    ]
+                    while len(terms) > 1:
                         terms = [
-                            ryw[h : h + 1, :] * u[h * D : (h + 1) * D, :]
-                            for h in range(m.hb)
+                            terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+                            for i in range(0, len(terms), 2)
                         ]
-                        while len(terms) > 1:
-                            terms = [
-                                terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
-                                for i in range(0, len(terms), 2)
-                            ]
-                        s = terms[0]                                          # [D, GN]
-                    if carry_acc:
-                        # carried [D, GN] accumulator: the chunk chain stays
-                        # in SSA values, acc_ref is touched once per group —
-                        # no read-after-write dependency between the per-level
-                        # matmul pipelines through the shared scratch
-                        return _ + s
-                    for j in range(GSZ):
-                        acc_ref[:] += s[:, j * TQ : (j + 1) * TQ]
-                    return 0
+                    s = terms[0]                                      # [D, GN]
+                return carry + s
 
-                # chunk 0 runs unconditionally: when nch == 0 every tent
-                # weight in the window is zero (no corner lands in [0, h)),
-                # so it contributes exact zeros — and the p50 case (nch == 1)
-                # then needs no loop iterations at all
-                if carry_acc:
-                    s_acc = chunk_body(0, jnp.zeros((D, GN), jnp.float32))
-                    s_acc = jax.lax.fori_loop(1, nch, chunk_body, s_acc)
+            return chunk_body
+
+        # chunk 0 always runs unconditionally: when nch == 0 every tent
+        # weight in the window is zero (no corner lands in [0, h)), so it
+        # contributes exact zeros — and the p50 case (nch == 1) then needs no
+        # dynamic loop iterations at all.
+        if not skip_grouped and grouped and not carry_acc:
+            # default: cross-level SSA accumulation. The whole grouped sweep
+            # for a point-group carries ONE [D, GN] f32 value through every
+            # level's chunk chain, then folds the GSZ lanes and touches
+            # acc_ref once — the per-(level, chunk) scratch-ref RMW traffic
+            # that the acc1 ablation measured at ~3.8 ms/layer never happens.
+            for g in range(NG):
+                s_acc = jnp.zeros((D, GN), jnp.float32)
+                for gi, l in enumerate(grouped):
+                    m, rx_v, y, attn, rmin, nch, iota_hb0 = _group_inputs(gi, l, g)
+                    body = _mk_chunk_body(l, m, rx_v, y, attn, rmin, iota_hb0)
+                    s_acc = body(0, s_acc)
+                    if ablate != "noloop":    # dev-only: dynamic-loop cost
+                        s_acc = jax.lax.fori_loop(1, nch, body, s_acc)
+                if ablate == "acc1":          # dev-only: accumulator RMW cost
+                    acc_ref[:] += s_acc[:, 0:TQ]
+                else:
                     for j in range(GSZ):
                         acc_ref[:] += s_acc[:, j * TQ : (j + 1) * TQ]
-                else:
-                    chunk_body(0, 0)
-                    jax.lax.fori_loop(1, nch, chunk_body, 0)
+        elif not skip_grouped:
+            # VNEXT_MSDA_V9_CARRY=1: the pre-r5 scratch-RMW structure (one
+            # acc_ref update per level/group/chunk) kept for A/B
+            for gi, l in enumerate(grouped):
+                for g in range(NG):
+                    m, rx_v, y, attn, rmin, nch, iota_hb0 = _group_inputs(gi, l, g)
+                    body = _mk_chunk_body(l, m, rx_v, y, attn, rmin, iota_hb0)
+
+                    def nc_body(ch, _, body=body):
+                        s = body(ch, jnp.float32(0.0))
+                        for j in range(GSZ):
+                            acc_ref[:] += s[:, j * TQ : (j + 1) * TQ]
+                        return 0
+
+                    nc_body(0, 0)
+                    jax.lax.fori_loop(1, nch, nc_body, 0)
 
         # ---- packed levels: 4-weight folded selector + packed-row pick ----
         for pi, l in enumerate(packed if not skip_packed else []):
@@ -285,8 +310,11 @@ def _v9_kernel(sched_ref, *rest, meta, D, P, TQ, GSZ, TPP, NSCHED, ablate="",
                             )
                             term = mask * u[rp * D : (rp + 1) * D, :]
                             s = term if s is None else s + term               # [D, GN]
-                        for j in range(GSZ):
-                            acc_ref[:] += s[:, j * TQ : (j + 1) * TQ]
+                        # fold point-group lanes in SSA, ONE scratch RMW
+                        fold = s[:, 0:TQ]
+                        for j in range(1, GSZ):
+                            fold = fold + s[:, j * TQ : (j + 1) * TQ]
+                        acc_ref[:] += fold
                         return 0
 
                     pchunk(0, 0)
@@ -299,8 +327,11 @@ def _v9_kernel(sched_ref, *rest, meta, D, P, TQ, GSZ, TPP, NSCHED, ablate="",
                     mask = (r0 == float(rp)).astype(jnp.float32)              # [1, PTQ]
                     term = mask * u[rp * D : (rp + 1) * D, :]
                     s = term if s is None else s + term                       # [D, PTQ]
-                for p in range(P):
-                    acc_ref[:] += s[:, p * TQ : (p + 1) * TQ]
+                # fold point lanes in SSA, ONE scratch RMW
+                fold = s[:, 0:TQ]
+                for p in range(1, P):
+                    fold = fold + s[:, p * TQ : (p + 1) * TQ]
+                acc_ref[:] += fold
 
         out_ref[0, :, pl.ds(tp * TQ, TQ)] = acc_ref[:].astype(out_ref.dtype)
 
