@@ -165,3 +165,83 @@ def test_encoder_layer_channel_major_matches_standard():
     np.testing.assert_allclose(
         np.asarray(jnp.swapaxes(outT, 1, 2)), np.asarray(out_std), atol=2e-5
     )
+
+
+def test_msda_module_channel_major_box_refs_matches_standard():
+    """CM path with 4-d (box-refined) references == standard path — the
+    decoder cross-attention layout (reference ms_deform_attn.py:108-110)."""
+    rng = np.random.RandomState(7)
+    M, L, P, C, Q = 2, 2, 2, 16, 9
+    shapes = ((8, 10), (4, 5))
+    S = sum(h * w for h, w in shapes)
+    B = 2
+    src = jnp.asarray(rng.randn(B, S, C), jnp.float32)
+    query = jnp.asarray(rng.randn(B, Q, C), jnp.float32)
+    ref4 = jnp.asarray(
+        np.concatenate(
+            [rng.rand(B, Q, L, 2) * 0.6 + 0.2, rng.rand(B, Q, L, 2) * 0.2 + 0.1],
+            -1,
+        ),
+        jnp.float32,
+    )
+    mask = jnp.asarray(rng.rand(B, S) > 0.9)
+
+    mod = MSDeformAttnModule(d_model=C, n_levels=L, n_heads=M, n_points=P)
+    params = mod.init(jax.random.PRNGKey(0), query, ref4, src, shapes, mask)
+    out_std = mod.apply(params, query, ref4, src, shapes, mask)
+
+    outT = mod.apply(
+        params,
+        jnp.swapaxes(query, 1, 2),
+        jnp.transpose(ref4, (0, 2, 3, 1)),            # [B, L, 4, Q]
+        jnp.swapaxes(src, 1, 2),
+        shapes,
+        mask,
+        channel_major=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(outT, 1, 2)), np.asarray(out_std), atol=2e-5
+    )
+
+
+def test_decoder_layer_channel_major_matches_standard():
+    """DecoderLayer with src_cm (CM cross-attention) == standard decoder layer
+    at inference, for both 2-d (first layer) and 4-d (box-refined) refs."""
+    from vnext_tpu.models.deformable_transformer import DecoderLayer
+
+    rng = np.random.RandomState(11)
+    M, L, P, C, Q = 2, 2, 2, 16, 9
+    shapes = ((8, 10), (4, 5))
+    S = sum(h * w for h, w in shapes)
+    B = 2
+    src = jnp.asarray(rng.randn(B, S, C), jnp.float32)
+    tgt = jnp.asarray(rng.randn(B, Q, C), jnp.float32)
+    qpos = jnp.asarray(rng.randn(B, Q, C), jnp.float32)
+    mask = jnp.asarray(rng.rand(B, S) > 0.9)
+
+    layer = DecoderLayer(d_model=C, d_ffn=32, n_levels=L, n_heads=M, n_points=P)
+    for refdim in (2, 4):
+        if refdim == 2:
+            ref = jnp.asarray(rng.rand(B, Q, L, 2), jnp.float32)
+        else:
+            ref = jnp.asarray(
+                np.concatenate(
+                    [rng.rand(B, Q, L, 2) * 0.6 + 0.2,
+                     rng.rand(B, Q, L, 2) * 0.2 + 0.1],
+                    -1,
+                ),
+                jnp.float32,
+            )
+        params = layer.init(
+            {"params": jax.random.PRNGKey(0)}, tgt, qpos, ref, src, shapes,
+            mask, False,
+        )
+        out_std = layer.apply(params, tgt, qpos, ref, src, shapes, mask, False)
+        out_cm = layer.apply(
+            params, tgt, qpos, ref, src, shapes, mask, False,
+            src_cm=jnp.swapaxes(src, 1, 2),
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_cm), np.asarray(out_std), atol=2e-5,
+            err_msg=f"refdim={refdim}",
+        )

@@ -89,20 +89,40 @@ class MSDeformAttnModule(nn.Module):
 
         if channel_major:
             # feature-major inference path: projections emit head-major
-            # channels directly, so the MSDA kernel needs no query relayout
+            # channels directly, so the MSDA kernel needs no query relayout.
+            # query may be shorter than src (decoder cross-attention: Q=300
+            # object queries over the S-token memory).
             b, _, s = query.shape
-            assert reference_points.shape[-2] == 2, "CM path is encoder-only"
             valueT = value_proj(src, channel_major=True)          # [B, MD, S]
             if padding_mask is not None:                          # [B, S]
                 valueT = jnp.where(padding_mask[:, None, :], 0.0, valueT)
                 assert valueT.ndim == 3
 
-            offsets = offsets_proj(query, channel_major=True)     # [B, MLP2, S]
-            attn = attn_proj(query, channel_major=True)           # [B, MLP, S]
-            ref = reference_points.astype(jnp.float32)            # [B, L, 2, S]
+            offsets = offsets_proj(query, channel_major=True)     # [B, MLP2, Q]
+            attn = attn_proj(query, channel_major=True)           # [B, MLP, Q]
+            ref = reference_points.astype(jnp.float32)            # [B, L, 2|4, Q]
 
             import os
-            if os.environ.get("VNEXT_MSDA_FUSED", "1") == "1":
+            if reference_points.shape[-2] == 4:
+                # box-refined references (decoder): the reference math is
+                # loc = ref_xy + off/P * ref_wh * 0.5 (deformable_transformer
+                # .py:decoder, offsets scaled by the box extent). The fused
+                # kernel computes x_pix = off_raw + (ref*wh - 0.5), so we
+                # pre-scale the raw offsets by ref_wh*wh*0.5/P in f32 (exact:
+                # Q is small, the scaled-offset tensor is a few MB) and feed
+                # ref_xy as the reference grid.
+                off = offsets.reshape(b, m, l, p, 2, s).astype(jnp.float32)
+                wh = jnp.asarray(
+                    [[w, h] for h, w in spatial_shapes], jnp.float32
+                )                                                  # [L, 2]
+                scale = ref[:, :, 2:] * wh[None, :, :, None] * (0.5 / p)
+                off_s = off * scale[:, None, :, None]              # [B,M,L,P,2,Q]
+                out = ms_deform_attn_cm_fused(
+                    valueT, spatial_shapes, off_s, ref[:, :, :2],
+                    attn.reshape(b, m, l, p, s), impl=self.impl,
+                    attn_is_logits=True,
+                )
+            elif os.environ.get("VNEXT_MSDA_FUSED", "1") == "1":
                 # raw offsets stay in the compute dtype; the kernel forms the
                 # pixel locations in VMEM (no [B,M,L,P,2,S] f32 materialization)
                 # and softmaxes the raw attention logits over (L, P) in VMEM
@@ -231,16 +251,29 @@ class DecoderLayer(nn.Module):
     msda_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, tgt, query_pos, reference_points, src, spatial_shapes, padding_mask, train: bool):
+    def __call__(self, tgt, query_pos, reference_points, src, spatial_shapes,
+                 padding_mask, train: bool, src_cm: Optional[Array] = None):
         q = tgt + query_pos
         sa = MultiHeadAttention(self.n_heads, dtype=self.dtype, name="self_attn")(q, q, tgt)
         sa = nn.Dropout(self.dropout, deterministic=not train)(sa)
         tgt = nn.LayerNorm(dtype=self.dtype, name="norm2")(tgt + sa)
 
-        ca = MSDeformAttnModule(
+        cross_attn = MSDeformAttnModule(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
             dtype=self.dtype, impl=self.msda_impl, name="cross_attn",
-        )(tgt + query_pos, reference_points, src, spatial_shapes, padding_mask)
+        )
+        if src_cm is not None and not train:
+            # channel-major cross-attention: Q=300 transposes are trivial and
+            # the fused kernel skips the standard path's head-major relayouts
+            # + f32 location materialization + XLA softmax (same params)
+            qT = jnp.swapaxes(tgt + query_pos, 1, 2)               # [B, C, Q]
+            refT = jnp.transpose(reference_points, (0, 2, 3, 1))   # [B, L, 2|4, Q]
+            ca = cross_attn(qT, refT, src_cm, spatial_shapes, padding_mask,
+                            channel_major=True)
+            ca = jnp.swapaxes(ca, 1, 2)
+        else:
+            ca = cross_attn(tgt + query_pos, reference_points, src,
+                            spatial_shapes, padding_mask)
         ca = nn.Dropout(self.dropout, deterministic=not train)(ca)
         tgt = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt + ca)
 
@@ -411,7 +444,22 @@ class DeformableTransformer(nn.Module):
         query_embed: Array,
         train: bool = False,
     ):
+        import os
+
         b = memory.shape[0]
+        # one [B, S, C] -> [B, C, S] transpose shared by all decoder layers'
+        # channel-major cross-attention (skipped in training: the fused CM
+        # kernel entry has no VJP). VNEXT_DEC_CM=0 restores the standard
+        # decoder layout for A/B.
+        src_cm = (
+            jnp.swapaxes(memory, 1, 2)
+            if (
+                self.channel_major
+                and not train
+                and os.environ.get("VNEXT_DEC_CM", "1") == "1"
+            )
+            else None
+        )
         query_pos, tgt = jnp.split(query_embed, 2, axis=1)
         query_pos = jnp.broadcast_to(query_pos[None], (b, *query_pos.shape)).astype(self.dtype)
         tgt = jnp.broadcast_to(tgt[None], (b, *tgt.shape)).astype(self.dtype)
@@ -431,7 +479,8 @@ class DeformableTransformer(nn.Module):
             else:
                 ref_input = reference_points[:, :, None] * valid_ratios[:, None]
             output = layer(
-                output, query_pos, ref_input, memory, spatial_shapes, mask_flat, train
+                output, query_pos, ref_input, memory, spatial_shapes, mask_flat,
+                train, src_cm=src_cm,
             )
             if self.bbox_embeds is not None:
                 tmp = self.bbox_embeds[lid](output).astype(jnp.float32)
