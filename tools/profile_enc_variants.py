@@ -80,6 +80,21 @@ def main():
         ("epi0", {"VNEXT_FUSED_EPILOGUE": "0"}),
         ("carry1", {"VNEXT_MSDA_V9_CARRY": "1"}),
     ]
+    # fine-grained in-kernel ablations (VARIANTS=ablate): difference each vs
+    # default to split kernel compute into matmul / y-interp / x-tent /
+    # dynamic-loop / slice / per-path shares, all IN-MODEL
+    if os.environ.get("VARIANTS") == "ablate":
+        variants = [
+            ("default", {}),
+            ("empty", {"VNEXT_MSDA_V9_ABLATE": "empty"}),
+            ("nogrouped", {"VNEXT_MSDA_V9_ABLATE": "nogrouped"}),
+            ("nopacked", {"VNEXT_MSDA_V9_ABLATE": "nopacked"}),
+            ("noloop", {"VNEXT_MSDA_V9_ABLATE": "noloop"}),
+            ("r0c", {"VNEXT_MSDA_V9_ABLATE": "r0c"}),
+            ("nomm", {"VNEXT_MSDA_V9_ABLATE": "nomm"}),
+            ("noyint", {"VNEXT_MSDA_V9_ABLATE": "noyint"}),
+            ("noxsel", {"VNEXT_MSDA_V9_ABLATE": "noxsel"}),
+        ]
     base_env = {k: os.environ.get(k) for _, e in variants for k in e}
     res = {}
     for name, env in variants:
