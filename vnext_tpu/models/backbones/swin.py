@@ -13,6 +13,7 @@ D2SwinTransformer :685). TPU-first details:
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -21,6 +22,18 @@ import jax.numpy as jnp
 import numpy as np
 
 Array = jnp.ndarray
+
+
+def _variants() -> set:
+    """Trace-time perf-diagnostic ablations (tools/profile_swin.py).
+
+    Comma-separated VNEXT_SWIN_VARIANT values; production default is the empty
+    set. These change numerics and exist ONLY to attribute time inside the
+    backbone: noattn (skip the whole attention branch), nomlp (skip the MLP
+    branch), sm_bf16 (softmax in compute dtype instead of f32), noshift
+    (drop rolls + masks), nobias (skip relative-position bias).
+    """
+    return set(v for v in os.environ.get("VNEXT_SWIN_VARIANT", "").split(",") if v)
 
 
 def _relative_position_index(window_size: int) -> np.ndarray:
@@ -70,7 +83,9 @@ class WindowAttention(nn.Module):
         qkv = qkv.reshape(b_, n, 3, h, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k).astype(jnp.float32)
+        variants = _variants()
+        acc_t = self.dtype if "sm_bf16" in variants else jnp.float32
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k).astype(acc_t)
 
         table = self.param(
             "relative_position_bias_table",
@@ -79,11 +94,12 @@ class WindowAttention(nn.Module):
         )
         idx = _relative_position_index(self.window_size).reshape(-1)
         bias = table[idx].reshape(n, n, h).transpose(2, 0, 1)  # [h, ww, ww]
-        attn = attn + bias[None].astype(jnp.float32)
+        if "nobias" not in variants:
+            attn = attn + bias[None].astype(acc_t)
 
         if mask is not None:
             nw = mask.shape[0]
-            attn = attn.reshape(b_ // nw, nw, h, n, n) + mask[None, :, None].astype(jnp.float32)
+            attn = attn.reshape(b_ // nw, nw, h, n, n) + mask[None, :, None].astype(acc_t)
             attn = attn.reshape(b_, h, n, n)
         attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b_, n, c)
@@ -112,9 +128,20 @@ class SwinBlock(nn.Module):
         # position bias table and misapply released Swin-L weights.
         win = self.window_size
         shift = self.shift_size
+        variants = _variants()
+        if "noshift" in variants:
+            shift = 0
 
         shortcut = x
         x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+
+        if "noattn" in variants:
+            x = shortcut
+            y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+            y = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)
+            y = nn.gelu(y, approximate=False)
+            y = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(y)
+            return x + self._drop_path(y, train)
 
         pad_b = (win - h0 % win) % win
         pad_r = (win - w0 % win) % win
@@ -142,6 +169,8 @@ class SwinBlock(nn.Module):
         x = x[:, :h0, :w0]
 
         x = shortcut + self._drop_path(x, train)
+        if "nomlp" in variants:
+            return x
         y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)
         y = nn.gelu(y, approximate=False)
