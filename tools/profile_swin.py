@@ -24,7 +24,7 @@ from vnext_tpu.config import get_cfg, add_idol_config
 from vnext_tpu.models.backbones.swin import build_swin_backbone
 
 T, H, W = 10, 480, 864
-REPS = int(os.environ.get("REPS", "6"))
+REPS = int(os.environ.get("REPS", "8"))
 
 
 def time_variant(label, depths=None, variant=""):
@@ -42,20 +42,28 @@ def time_variant(label, depths=None, variant=""):
     params = jax.jit(lambda: model.init(jax.random.PRNGKey(0), frames[:1]))()
     jax.block_until_ready(params)
 
+    # Direct async dispatches closed by one scalar pull, minus the measured
+    # null-sync baseline (bench.py's validated pattern).  The earlier
+    # scan-of-REPS wrapper compiled pathologically slowly (>570 s vs the 22 s
+    # bench.py sees for the direct graph), so rows use the bench shape.
     @jax.jit
     def run(x):
-        def body(carry, _):
-            feats = model.apply(params, carry)
-            s = sum(jnp.sum(v.astype(jnp.float32)) for v in feats.values())
-            fb = (s * 1e-12).astype(carry.dtype)
-            return carry + fb, s
+        feats = model.apply(params, x)
+        return sum(jnp.sum(v.astype(jnp.float32)) for v in feats.values())
 
-        _, out = jax.lax.scan(body, x, None, length=REPS)
-        return jnp.sum(out)
+    def pull(out):
+        return float(jnp.reshape(out, (-1,))[0])
 
-    t0 = time.time(); float(run(frames)); compile_s = time.time() - t0
-    t0 = time.time(); float(run(frames)); run_s = time.time() - t0
-    ms = run_s / REPS * 1000
+    t0 = time.time(); out = run(frames); pull(out); compile_s = time.time() - t0
+    t0 = time.time()
+    for _ in range(3):
+        pull(out)
+    sync_s = (time.time() - t0) / 3
+    t0 = time.time()
+    for _ in range(REPS):
+        out = run(frames)
+    pull(out)
+    ms = max((time.time() - t0 - sync_s), 1e-9) / REPS * 1000
     print(f"{label:26s} {ms:9.1f} ms  (compile {compile_s:.0f}s)", flush=True)
     os.environ["VNEXT_SWIN_VARIANT"] = ""
     return ms
